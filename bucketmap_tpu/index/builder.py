@@ -1,0 +1,330 @@
+"""Offline index construction.
+
+Produces the three logical tables of the reference index
+(bucket_indexer.h:76-127) in a TPU-friendly layout:
+
+  * q-gram occupancy bit-matrix: uint32[G+1, W] words (W = ceil(N/32));
+    bit b of word w = bucket 32w+b present. Row G is an all-ones
+    sentinel standing in for q-grams not sampled by FracMinHash (the
+    reference skips those in the AND chain, q_gram_mapper.h:404-405).
+  * kmer_to_row: int32[4^q], -1 for unsampled q-grams, else row index —
+    the FracMinHash table (bucket_indexer.h:147-159).
+  * bucket metadata: names (the full FASTA id, repeated per bucket, as
+    in .bucket_id), per-reference bucket ordinals, and actual lengths.
+
+Plus what the reference rebuilds at locate time (its 384s hotspot,
+bucket_locator.h:162-177): we instead keep every bucket's sequence
+2-bit-packed as a dense uint32[N, Wb] matrix so the fine stage is a
+single gather + vectorized compare on device.
+
+Bucket decomposition matches utils.h:60-102: per record,
+ceil(len/bucket_len) buckets of [i*L, i*L+L+read_len), residuals
+<= read_len dropped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import numpy as np
+
+from bucketmap_tpu.config import MapperConfig
+from bucketmap_tpu.io.fasta import FastaRecord, read_fasta
+from bucketmap_tpu.ops.encoding import kmer_hashes, pack_2bit
+
+# Prime table for the universal hash (hash_function_generator.h:25-88 keeps a
+# standard SGI/tr1 prime ladder; we only ever need the first prime above
+# 10*hash_table_size, so a short ladder suffices).
+_PRIMES = [
+    5, 11, 23, 47, 97, 199, 409, 823, 1741, 3469, 6949, 14033, 28411, 57557,
+    116731, 236897, 480881, 976369, 1982627, 4026031, 8175383, 16601593,
+    33712729, 68460391, 139022417, 282312799, 573292817, 1164186217,
+    2364114217, 4294967291,
+]
+
+
+def _choose_prime_larger_than(size: int) -> int:
+    for p in _PRIMES:
+        if p > size:
+            return p
+    raise ValueError(f"no prime above {size} in table")
+
+
+def frac_min_hash_table(cfg: MapperConfig) -> np.ndarray:
+    """kmer_to_row: int32[4^q]; row index if sampled by FracMinHash else -1.
+
+    Universal hash h(x) = (a*x + b) % p % table_size, keep iff
+    h(g) <= table_size * fraction (main.cpp:176-185,
+    hash_function_generator.h:105-117). Reference seeds with time(); we
+    use a seeded RNG for reproducibility.
+    """
+    p = _choose_prime_larger_than(10 * cfg.hash_table_size)
+    rng = np.random.RandomState(cfg.frac_hash_seed)
+    a = rng.randint(1, p - 1)
+    b = rng.randint(0, p)
+    g = np.arange(cfg.num_qgrams, dtype=np.uint64)
+    hv = (np.uint64(a) * g + np.uint64(b)) % np.uint64(p) % np.uint64(cfg.hash_table_size)
+    keep = hv <= np.uint64(cfg.frac_hash_threshold)
+    rows = np.cumsum(keep, dtype=np.int64) - 1
+    return np.where(keep, rows, -1).astype(np.int32)
+
+
+@dataclasses.dataclass
+class BucketIndex:
+    config: MapperConfig
+    ref_names: list[str]          # collapsed reference names (first token kept at SAM time)
+    bucket_names: list[str]       # full record id per bucket (.bucket_id content)
+    bucket_ref: np.ndarray        # (N,) int32 index into ref_names
+    bucket_ordinal: np.ndarray    # (N,) int32 bucket index within its reference
+    bucket_lengths: np.ndarray    # (N,) int32 true sequence length incl. overlap
+    kmer_to_row: np.ndarray       # (4^q,) int32
+    qgram_words: np.ndarray       # (G+1, W) uint32; row G all-ones sentinel
+    zeros: np.ndarray             # (G+1,) int32 N - popcount; sentinel row = -1
+    buckets_packed: np.ndarray    # (N, Wb) uint32
+
+    @property
+    def n_buckets(self) -> int:
+        return len(self.bucket_names)
+
+    @property
+    def words_per_row(self) -> int:
+        return self.qgram_words.shape[1]
+
+    def ref_offset_of_bucket(self) -> np.ndarray:
+        """Offset of each bucket inside its (SAM) reference:
+        ordinal * bucket_len (bucket_locator.h:497)."""
+        return self.bucket_ordinal.astype(np.int64) * self.config.bucket_len
+
+    def sam_ref_lengths(self) -> list[int]:
+        """Reference lengths for the SAM header: buckets-per-ref * bucket_len —
+        the reference's (acknowledged) upper bound (bucket_locator.h:491)."""
+        counts = np.bincount(self.bucket_ref, minlength=len(self.ref_names))
+        return [int(c) * self.config.bucket_len for c in counts]
+
+
+def iterate_buckets(records: list[FastaRecord], cfg: MapperConfig):
+    """Yield (record_id, start, codes_slice) per bucket (utils.h:60-102)."""
+    for rec in records:
+        total = len(rec.codes)
+        n_b = int(np.ceil(total / cfg.bucket_len)) if total else 0
+        for i in range(n_b):
+            start = i * cfg.bucket_len
+            end = min(start + cfg.bucket_len + cfg.read_len, total)
+            if end - start <= cfg.read_len:
+                continue
+            yield rec.id, start, rec.codes[start:end]
+
+
+def build_index(records: list[FastaRecord], cfg: MapperConfig,
+                verbose: bool = False) -> BucketIndex:
+    cfg.validate()
+    q = cfg.index_seed
+    kmer_to_row = frac_min_hash_table(cfg)
+    g_rows = int(kmer_to_row.max()) + 1 if (kmer_to_row >= 0).any() else 0
+
+    # ---- pass 1: bucket metadata -------------------------------------------
+    bucket_names: list[str] = []
+    bucket_lengths: list[int] = []
+    for rec_id, _start, codes in iterate_buckets(records, cfg):
+        bucket_names.append(rec_id)
+        bucket_lengths.append(len(codes))
+    n = len(bucket_names)
+    if n == 0:
+        raise ValueError("no buckets produced (genome shorter than read_len?)")
+    w = (n + 31) // 32
+
+    ref_names: list[str] = []
+    bucket_ref = np.zeros(n, dtype=np.int32)
+    bucket_ordinal = np.zeros(n, dtype=np.int32)
+    last = None
+    ordinal = 0
+    for i, name in enumerate(bucket_names):
+        if name != last:
+            ref_names.append(name)
+            last = name
+            ordinal = 0
+        bucket_ref[i] = len(ref_names) - 1
+        bucket_ordinal[i] = ordinal
+        ordinal += 1
+
+    # ---- pass 2: occupancy matrix + packed sequences -----------------------
+    qgram_words = np.zeros((g_rows + 1, w), dtype=np.uint32)
+    wb = (max(bucket_lengths) + 15) // 16
+    buckets_packed = np.zeros((n, wb), dtype=np.uint32)
+
+    # per-record q-gram hashes computed once, sliced per bucket
+    rec_hashes: dict[int, np.ndarray] = {}
+    b = 0
+    for rec_idx, rec in enumerate(records):
+        hashes = None
+        total = len(rec.codes)
+        n_b = int(np.ceil(total / cfg.bucket_len)) if total else 0
+        for i in range(n_b):
+            start = i * cfg.bucket_len
+            end = min(start + cfg.bucket_len + cfg.read_len, total)
+            if end - start <= cfg.read_len:
+                continue
+            if hashes is None:
+                hashes = kmer_hashes(rec.codes, q) if total >= q else np.zeros(0, np.uint32)
+            h = hashes[start : end - q + 1]
+            rows = kmer_to_row[h]
+            rows = np.unique(rows[rows >= 0])
+            qgram_words[rows, b >> 5] |= np.uint32(1 << (b & 31))
+            packed = pack_2bit(rec.codes[start:end])
+            buckets_packed[b, : len(packed)] = packed
+            b += 1
+        if verbose:
+            print(f"[index] record {rec_idx} ({rec.id.split()[0] if rec.id else ''}): "
+                  f"{total} bp -> buckets so far: {b}")
+    assert b == n
+
+    # all-ones sentinel row (stands in for unsampled q-grams in the AND chain)
+    qgram_words[g_rows, :] = np.uint32(0xFFFFFFFF)
+
+    # distinguishability support: zeros[g] = N - popcount(row)
+    # (q_gram_mapper.h:171-187)
+    pop = np.bitwise_count(qgram_words[:g_rows]).sum(axis=1).astype(np.int64)
+    zeros = np.concatenate([(n - pop).astype(np.int32), np.array([-1], np.int32)])
+
+    return BucketIndex(
+        config=cfg, ref_names=ref_names, bucket_names=bucket_names,
+        bucket_ref=bucket_ref, bucket_ordinal=bucket_ordinal,
+        bucket_lengths=np.asarray(bucket_lengths, dtype=np.int32),
+        kmer_to_row=kmer_to_row, qgram_words=qgram_words, zeros=zeros,
+        buckets_packed=buckets_packed,
+    )
+
+
+def build_index_from_fasta(path: str | os.PathLike, cfg: MapperConfig,
+                           verbose: bool = False) -> BucketIndex:
+    return build_index(read_fasta(path), cfg, verbose=verbose)
+
+
+# ---- on-disk artifact -------------------------------------------------------
+
+def save_index(index: BucketIndex, directory: str | os.PathLike, indicator: str) -> None:
+    """Native artifact: one .npz + json meta. This is the 'checkpoint' the
+    reference keeps as .qgram/.bucket_id/.kmers_index (§5 of SURVEY)."""
+    os.makedirs(directory, exist_ok=True)
+    base = os.path.join(directory, indicator)
+    np.savez(
+        base + ".bmtpu.npz",
+        bucket_ref=index.bucket_ref, bucket_ordinal=index.bucket_ordinal,
+        bucket_lengths=index.bucket_lengths, kmer_to_row=index.kmer_to_row,
+        qgram_words=index.qgram_words, zeros=index.zeros,
+        buckets_packed=index.buckets_packed,
+    )
+    meta = {
+        "config": dataclasses.asdict(index.config),
+        "ref_names": index.ref_names,
+        "bucket_names": index.bucket_names,
+        "version": 1,
+    }
+    with open(base + ".bmtpu.json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_index(directory: str | os.PathLike, indicator: str) -> BucketIndex:
+    base = os.path.join(directory, indicator)
+    with open(base + ".bmtpu.json") as f:
+        meta = json.load(f)
+    arrs = np.load(base + ".bmtpu.npz")
+    return BucketIndex(
+        config=MapperConfig(**meta["config"]),
+        ref_names=meta["ref_names"], bucket_names=meta["bucket_names"],
+        bucket_ref=arrs["bucket_ref"], bucket_ordinal=arrs["bucket_ordinal"],
+        bucket_lengths=arrs["bucket_lengths"], kmer_to_row=arrs["kmer_to_row"],
+        qgram_words=arrs["qgram_words"], zeros=arrs["zeros"],
+        buckets_packed=arrs["buckets_packed"],
+    )
+
+
+# ---- reference-format interop (.qgram / .bucket_id / .kmers_index) ----------
+
+def export_reference_format(index: BucketIndex, directory: str | os.PathLike,
+                            indicator: str) -> None:
+    """Write the reference's exact on-disk index formats
+    (bucket_indexer.h:76-127): .qgram = (N+7)/8 packed bytes per sampled
+    q-gram row (bit j of byte j>>3 at j&7 — identical to our
+    little-endian uint32 words); .bucket_id = one full record id per
+    bucket; .kmers_index = 4^q newline-separated ints."""
+    os.makedirs(directory, exist_ok=True)
+    base = os.path.join(directory, indicator)
+    n = index.n_buckets
+    row_bytes = (n + 7) // 8
+    with open(base + ".qgram", "wb") as f:
+        rows = index.qgram_words[:-1]  # drop sentinel
+        byte_view = rows.astype("<u4").tobytes()
+        per_row = index.words_per_row * 4
+        for i in range(rows.shape[0]):
+            f.write(byte_view[i * per_row : i * per_row + row_bytes])
+    with open(base + ".bucket_id", "w") as f:
+        for name in index.bucket_names:
+            f.write(name + "\n")
+    with open(base + ".kmers_index", "w") as f:
+        for v in index.kmer_to_row:
+            f.write(f"{int(v)}\n")
+
+
+def import_reference_format(directory: str | os.PathLike, indicator: str,
+                            cfg: MapperConfig,
+                            fasta_path: str | os.PathLike | None = None) -> BucketIndex:
+    """Load a reference-built index. The packed bucket sequences are not
+    part of the reference artifact (it reloads the FASTA at locate time,
+    bucket_locator.h:151-160), so a fasta_path is needed for the fine
+    stage; pass None for coarse-only use."""
+    base = os.path.join(directory, indicator)
+    with open(base + ".kmers_index") as f:
+        kmer_to_row = np.array([int(line) for line in f], dtype=np.int32)
+    if len(kmer_to_row) != cfg.num_qgrams:
+        raise ValueError("kmers_index length does not match 4^index_seed")
+    with open(base + ".bucket_id") as f:
+        bucket_names = [line.rstrip("\n") for line in f]
+    n = len(bucket_names)
+    w = (n + 31) // 32
+    row_bytes = (n + 7) // 8
+    g_rows = int(kmer_to_row.max()) + 1
+    raw = np.fromfile(base + ".qgram", dtype=np.uint8)
+    if len(raw) != g_rows * row_bytes:
+        raise ValueError(".qgram size mismatch")
+    rows = raw.reshape(g_rows, row_bytes)
+    padded = np.zeros((g_rows + 1, w * 4), dtype=np.uint8)
+    padded[:g_rows, :row_bytes] = rows
+    qgram_words = padded.view("<u4").reshape(g_rows + 1, w).copy()
+    qgram_words[g_rows] = np.uint32(0xFFFFFFFF)
+
+    pop = np.bitwise_count(qgram_words[:g_rows]).sum(axis=1).astype(np.int64)
+    zeros = np.concatenate([(n - pop).astype(np.int32), np.array([-1], np.int32)])
+
+    ref_names, bucket_ref, bucket_ordinal = [], np.zeros(n, np.int32), np.zeros(n, np.int32)
+    last, ordinal = None, 0
+    for i, name in enumerate(bucket_names):
+        if name != last:
+            ref_names.append(name)
+            last, ordinal = name, 0
+        bucket_ref[i] = len(ref_names) - 1
+        bucket_ordinal[i] = ordinal
+        ordinal += 1
+
+    if fasta_path is not None:
+        records = read_fasta(fasta_path)
+        lengths, packs = [], []
+        for _rid, _start, codes in iterate_buckets(records, cfg):
+            lengths.append(len(codes))
+            packs.append(pack_2bit(codes))
+        wb = (max(lengths) + 15) // 16
+        buckets_packed = np.zeros((n, wb), dtype=np.uint32)
+        for i, p in enumerate(packs):
+            buckets_packed[i, : len(p)] = p
+        bucket_lengths = np.asarray(lengths, dtype=np.int32)
+    else:
+        buckets_packed = np.zeros((n, 1), dtype=np.uint32)
+        bucket_lengths = np.full(n, cfg.bucket_len + cfg.read_len, dtype=np.int32)
+
+    return BucketIndex(
+        config=cfg, ref_names=ref_names, bucket_names=bucket_names,
+        bucket_ref=bucket_ref, bucket_ordinal=bucket_ordinal,
+        bucket_lengths=bucket_lengths, kmer_to_row=kmer_to_row,
+        qgram_words=qgram_words, zeros=zeros, buckets_packed=buckets_packed,
+    )

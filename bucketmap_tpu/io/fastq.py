@@ -1,0 +1,75 @@
+"""Host-side FASTQ reading into fixed-shape batch arrays.
+
+The device pipeline needs static shapes: reads are encoded into
+(num_reads, max_len) uint8 code/quality-rank matrices plus a length
+vector. Parsing is vectorized numpy (newline scan + fancy indexing) so
+the host input pipeline is not the bottleneck; a C++ fast path can slot
+in behind the same interface later.
+
+Quality follows phred94: rank = ASCII - 33 (utils.h:192-204).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import numpy as np
+
+from bucketmap_tpu.ops.encoding import _ASCII_TO_CODE
+
+
+@dataclasses.dataclass
+class ReadBatch:
+    ids: list[str]          # read names (without '@')
+    codes: np.ndarray       # (n, max_len) uint8, 0-padded
+    quals: np.ndarray       # (n, max_len) uint8 phred ranks, 0-padded
+    lengths: np.ndarray     # (n,) int32
+    seq_ascii: np.ndarray   # (n, max_len) uint8 raw sequence bytes (for SAM echo)
+    qual_ascii: np.ndarray  # (n, max_len) uint8 raw quality bytes (for SAM echo)
+
+    @property
+    def num_reads(self) -> int:
+        return len(self.ids)
+
+
+def read_fastq(path: str | os.PathLike, max_len: int | None = None) -> ReadBatch:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data.endswith(b"\n"):
+        data = data[:-1]
+    # Line index via newline scan (no per-read python loop for the payload).
+    nl = np.flatnonzero(np.frombuffer(data, dtype=np.uint8) == ord("\n"))
+    starts = np.concatenate([[0], nl + 1])
+    ends = np.concatenate([nl, [len(data)]])
+    nlines = len(starts)
+    if nlines % 4 != 0:
+        raise ValueError(f"FASTQ line count {nlines} not a multiple of 4")
+    n = nlines // 4
+
+    seq_s, seq_e = starts[1::4], ends[1::4]
+    qual_s, qual_e = starts[3::4], ends[3::4]
+    lengths = (seq_e - seq_s).astype(np.int32)
+    if np.any((qual_e - qual_s) != lengths):
+        raise ValueError("FASTQ sequence/quality length mismatch")
+    L = int(lengths.max()) if max_len is None else int(max_len)
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    # gather: row i, col j  <- buf[seq_s[i] + j], masked by length
+    col = np.arange(L)
+    idx = seq_s[:, None] + col[None, :]
+    mask = col[None, :] < lengths[:, None]
+    idx = np.where(mask, idx, 0)
+    seq_ascii = np.where(mask, buf[idx], 0).astype(np.uint8)
+    qidx = np.where(mask, qual_s[:, None] + col[None, :], 0)
+    qual_ascii = np.where(mask, buf[qidx], 0).astype(np.uint8)
+
+    codes = _ASCII_TO_CODE[seq_ascii]
+    quals = np.where(mask, qual_ascii.astype(np.int16) - 33, 0).astype(np.uint8)
+
+    # ids: per-read header slices (python loop over headers only)
+    ids = [
+        data[s:e].decode().rstrip("\r").lstrip("@")
+        for s, e in zip(starts[0::4], ends[0::4])
+    ]
+    return ReadBatch(ids=ids, codes=codes, quals=quals, lengths=lengths,
+                     seq_ascii=seq_ascii, qual_ascii=qual_ascii)

@@ -1,0 +1,154 @@
+"""Ground-truth-emitting short-read simulator.
+
+Behavioral port of the reference short_read_simulator
+(tools/short_read_simulator.h:18-242), which is both a public-facing
+feature (README.md:86-129) and the source of ground truth for every
+accuracy test:
+
+  * reads sampled uniformly: bucket ~ U[0, N), start ~ U[0, blen-read_len-1)
+    (:157-189),
+  * per-read error counts ~ Poisson(rate * read_len) for substitutions,
+    insertions, deletions; ops applied in the order deletions ->
+    insertions -> substitutions at uniform positions (:104-117),
+  * the ground-truth CIGAR mirrors the reference's quirky bookkeeping:
+    one op per entry; a deletion removes a base but *replaces* the op at
+    that index with 'D'; an insertion inserts both (:40-61),
+  * 50% of reads are reverse-complemented (:69-82),
+  * outputs: .fastq (constant quality 'E'), .bucket_ground_truth
+    ("bucket offset revcomp cigar") and .position_ground_truth
+    ("ref_id 1-based-pos revcomp cigar") (:213-232).
+
+The RNG is numpy (seeded, reproducible) rather than C rand(); the
+*distributions* match, the streams don't — ground truth files make that
+irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+import numpy as np
+
+from bucketmap_tpu.config import MapperConfig
+from bucketmap_tpu.io.fasta import FastaRecord, read_fasta
+from bucketmap_tpu.index.builder import iterate_buckets
+from bucketmap_tpu.ops.encoding import decode_to_ascii, revcomp_codes
+
+
+def _cigar_to_string(ops: list[str]) -> str:
+    """Run-length encode a per-position op list (utils.h:254-280)."""
+    if not ops:
+        return ""
+    out = []
+    last, count = ops[0], 0
+    for op in ops:
+        if op == last:
+            count += 1
+        else:
+            out.append(f"{count}{last}")
+            last, count = op, 1
+    out.append(f"{count}{last}")
+    return "".join(out)
+
+
+class ShortReadSimulator:
+    def __init__(self, cfg: MapperConfig, substitution_rate: float = 0.0,
+                 insertion_rate: float = 0.0, deletion_rate: float = 0.0,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.sub_lam = substitution_rate * cfg.read_len
+        self.ins_lam = insertion_rate * cfg.read_len
+        self.del_lam = deletion_rate * cfg.read_len
+        self.rng = np.random.RandomState(seed)
+        self.bucket_codes: list[np.ndarray] = []
+        self.bucket_ids: list[tuple[int, int]] = []  # (ref_id, ordinal in ref)
+
+    def read(self, fasta: str | os.PathLike | list[FastaRecord]) -> None:
+        records = fasta if isinstance(fasta, list) else read_fasta(fasta)
+        last_id, ref_id, ordinal = None, -1, 0
+        for rec_id, _start, codes in iterate_buckets(records, self.cfg):
+            self.bucket_codes.append(codes)
+            if rec_id != last_id:
+                last_id, ref_id, ordinal = rec_id, ref_id + 1, 0
+            self.bucket_ids.append((ref_id, ordinal))
+            ordinal += 1
+        if not self.bucket_codes:
+            raise ValueError("genome produced no buckets")
+
+    def sample(self, simulate_error: bool = True):
+        """One read: (codes, bucket, offset, rev_comp, cigar_string)."""
+        rng = self.rng
+        rl = self.cfg.read_len
+        bucket = int(rng.randint(len(self.bucket_codes)))
+        cur = self.bucket_codes[bucket]
+        start = 0
+        if len(cur) > rl + 1:
+            start = int(rng.randint(len(cur) - rl - 1))
+        end = min(start + rl, len(cur))
+        seq = list(cur[start:end])
+        cigar = ["="] * len(seq)
+
+        if simulate_error:
+            n_sub = int(rng.poisson(self.sub_lam))
+            n_ins = int(rng.poisson(self.ins_lam))
+            n_del = int(rng.poisson(self.del_lam))
+            # order matches add_errors: deletions, insertions, substitutions
+            # (short_read_simulator.h:114-116)
+            for _ in range(n_del):
+                idx = int(rng.randint(len(seq)))
+                del seq[idx]
+                cigar[idx] = "D"
+            for _ in range(n_ins):
+                idx = int(rng.randint(len(seq)))
+                seq.insert(idx, int(rng.randint(4)))
+                cigar.insert(idx, "I")
+            for _ in range(n_sub):
+                idx = int(rng.randint(len(seq)))
+                new = int(rng.randint(4))
+                while new == seq[idx]:
+                    new = int(rng.randint(4))
+                seq[idx] = new
+                cigar[idx] = "X"
+
+        codes = np.asarray(seq, dtype=np.uint8)
+        rev_comp = bool(rng.randint(2))
+        if rev_comp:
+            codes = revcomp_codes(codes)
+        return codes, bucket, start, rev_comp, _cigar_to_string(cigar)
+
+    def generate(self, out_dir: str | os.PathLike, indicator: str, size: int,
+                 simulate_error: bool = True) -> dict[str, str]:
+        """Write {indicator}.fastq / .bucket_ground_truth / .position_ground_truth."""
+        os.makedirs(out_dir, exist_ok=True)
+        paths = {
+            "fastq": os.path.join(out_dir, indicator + ".fastq"),
+            "bucket_gt": os.path.join(out_dir, indicator + ".bucket_ground_truth"),
+            "position_gt": os.path.join(out_dir, indicator + ".position_ground_truth"),
+        }
+        fq, bgt, pgt = [], [], []
+        bl = self.cfg.bucket_len
+        for i in range(size):
+            codes, bucket, offset, rc, cigar = self.sample(simulate_error)
+            seq = decode_to_ascii(codes).decode()
+            fq.append(f"@{i}\n{seq}\n+\n{'E' * len(seq)}\n")
+            bgt.append(f"{bucket} {offset} {int(rc)} {cigar}\n")
+            ref_id, ordinal = self.bucket_ids[bucket]
+            pgt.append(f"{ref_id} {ordinal * bl + offset + 1} {int(rc)} {cigar}\n")
+        with open(paths["fastq"], "w") as f:
+            f.write("".join(fq))
+        with open(paths["bucket_gt"], "w") as f:
+            f.write("".join(bgt))
+        with open(paths["position_gt"], "w") as f:
+            f.write("".join(pgt))
+        return paths
+
+
+def random_genome(length: int, seed: int = 0, n_refs: int = 1,
+                  name_prefix: str = "synth") -> list[FastaRecord]:
+    """Synthetic uniform-random genome (for benches; no egress for real ones)."""
+    rng = np.random.RandomState(seed)
+    per = length // n_refs
+    recs = []
+    for i in range(n_refs):
+        codes = rng.randint(0, 4, size=per).astype(np.uint8)
+        recs.append(FastaRecord(id=f"{name_prefix}_{i}", codes=codes))
+    return recs

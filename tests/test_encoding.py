@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+from bucketmap_tpu.ops import encoding as enc
+from bucketmap_tpu.ops.sampler import sample_deterministic, sample_table
+
+
+def test_encode_decode_roundtrip():
+    seq = b"ACGTACGTTTGCA"
+    codes = enc.encode_ascii(seq)
+    assert enc.decode_to_ascii(codes) == seq
+    np.testing.assert_array_equal(codes[:4], [0, 1, 2, 3])
+
+
+def test_n_maps_to_a():
+    assert enc.encode_ascii(b"N")[0] == 0
+    assert enc.encode_ascii(b"acgt").tolist() == [0, 1, 2, 3]
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(0)
+    for n in [1, 15, 16, 17, 100, 333]:
+        codes = rng.randint(0, 4, n).astype(np.uint8)
+        words = enc.pack_2bit(codes)
+        assert words.dtype == np.uint32
+        assert len(words) == (n + 15) // 16
+        out = enc.unpack_2bit(words, n)
+        np.testing.assert_array_equal(out, codes)
+
+
+@pytest.mark.parametrize("k", [2, 3, 9, 12, 14, 16])
+def test_kmer_hashes_match_oracle(k):
+    rng = np.random.RandomState(k)
+    codes = rng.randint(0, 4, 200).astype(np.uint8)
+    got = enc.kmer_hashes(codes, k)
+    want = enc.kmer_hashes_ref(codes, k)
+    assert got.shape == (200 - k + 1,)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_kmer_hash_value_convention():
+    # hash is big-endian base 4: ACGT -> 0*64 + 1*16 + 2*4 + 3
+    codes = enc.encode_ascii(b"ACGT")
+    assert enc.kmer_hashes(codes, 4)[0] == 0 * 64 + 1 * 16 + 2 * 4 + 3
+
+
+def test_revcomp_hash_matches_sequence_revcomp():
+    rng = np.random.RandomState(1)
+    for k in [3, 9, 12]:
+        codes = rng.randint(0, 4, k).astype(np.uint8)
+        h = enc.kmer_hashes(codes, k)[0]
+        rc = enc.revcomp_codes(codes)
+        h_rc = enc.kmer_hashes(rc, k)[0]
+        assert enc.revcomp_hash(np.uint32(h), k) == h_rc
+
+
+def test_window_quality_sums():
+    q = np.array([1, 2, 3, 4, 5], dtype=np.int32)
+    np.testing.assert_array_equal(enc.window_quality_sums(q, 3), [6, 9, 12])
+    # batched
+    qb = np.stack([q, q * 2])
+    out = enc.window_quality_sums(qb, 3)
+    np.testing.assert_array_equal(out[1], [12, 18, 24])
+
+
+def test_qgram_extraction():
+    # k=4 over ACGT, q=2: q-grams at shifts 0,1,2 are GT(11), CG(6), AC(1)
+    h = np.uint32(0 * 64 + 1 * 16 + 2 * 4 + 3)
+    assert enc.qgram_of_kmer(h, 0, 2) == 11
+    assert enc.qgram_of_kmer(h, 1, 2) == 6
+    assert enc.qgram_of_kmer(h, 2, 2) == 1
+
+
+def test_sampler_reference_semantics():
+    # utils.h:160-178: delta = (ub+1)/(n-1); floor(i*delta); last = ub
+    np.testing.assert_array_equal(sample_deterministic(1, 7), [7])
+    np.testing.assert_array_equal(sample_deterministic(5, 9), [0, 2, 5, 7, 9])
+    # double rounding case: ub+1=7, n-1=3 -> delta=2.333..; i=2 -> floor(4.666)=4
+    np.testing.assert_array_equal(sample_deterministic(4, 6), [0, 2, 4, 6])
+    # repeats when range smaller than n
+    np.testing.assert_array_equal(sample_deterministic(5, 2), [0, 0, 1, 2, 2])
+
+
+def test_sample_table():
+    t = sample_table(10, 300)
+    assert t.shape == (301, 10)
+    np.testing.assert_array_equal(t[289], sample_deterministic(10, 289))
+
+
+def test_kmer_hashes_jnp_matches_numpy():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    codes = rng.randint(0, 4, 120).astype(np.uint8)
+    got = np.asarray(enc.kmer_hashes(jnp.asarray(codes), 12, xp=jnp))
+    np.testing.assert_array_equal(got, enc.kmer_hashes(codes, 12))
+    h = enc.kmer_hashes(codes, 12)
+    got_rc = np.asarray(enc.revcomp_hash(jnp.asarray(h), 12, xp=jnp))
+    np.testing.assert_array_equal(got_rc, enc.revcomp_hash(h, 12))
