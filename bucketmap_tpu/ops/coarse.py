@@ -1,0 +1,150 @@
+"""Coarse stage: score every bucket against every read's sampled k-mers.
+
+TPU-native reformulation of the reference's fault_tolerate_filter cascade
+(q_gram_mapper.h:27-136). The cascade
+    filters[i] &= filters[i+1] | input ;  filters[last] &= input
+followed by best_results() (highest non-empty level) is equivalent to:
+
+    hits[b]  = #{samples s : bucket b contains ALL q-grams of s}
+    answer   = { b : hits[b] == max_hits }   if max_hits >= m - fault + 1
+             = {}                            otherwise
+
+so instead of maintaining `fault` cascaded bitsets per read we compute the
+per-bucket hit *count* with dense word-parallel AND + bit-unpack + add —
+the TPU scale-up of std::bitset word-parallelism. Everything is
+fixed-shape: candidate lists are padded to max_candidate_buckets with -1.
+
+Per-read flow (query_sequence, q_gram_mapper.h:414-480):
+  1. k-mer hashes + rolling quality sums over the segment,
+  2. keep k-mers that are highly distinguishable (any contained q-gram
+     with zeros >= d*N, :189-196) AND pass the quality gate,
+  3. give up if fewer than 0.2*num_samples remain (strict double
+     compare, replicated via math.ceil of the python-float product),
+  4. deterministically sample num_samples of them,
+  5. score buckets for the samples and their reverse complements,
+  6. drop a strand's list if it exceeds max_candidate_buckets.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bucketmap_tpu.config import MapperConfig
+from bucketmap_tpu.index.builder import BucketIndex
+from bucketmap_tpu.ops.encoding import kmer_hashes, revcomp_hash, window_quality_sums
+from bucketmap_tpu.ops.sampler import sample_table
+
+
+def min_good_kmers(cfg: MapperConfig) -> int:
+    """Smallest good-k-mer count that is NOT skipped: the reference compares
+    size < 0.2*num_samples in double (q_gram_mapper.h:445); python floats
+    are IEEE doubles so math.ceil of the float product is exact."""
+    return math.ceil(0.2 * cfg.mapper_samples)
+
+
+class CoarseMapper:
+    """Holds the coarse index on device and a jitted batch query."""
+
+    def __init__(self, index: BucketIndex, interpret: bool = False):
+        cfg = index.config
+        cfg.validate()
+        self.cfg = cfg
+        self.n_buckets = index.n_buckets
+        g = index.qgram_words.shape[0] - 1  # sentinel row index
+        self.qgram_words = jnp.asarray(index.qgram_words)
+        # -1 (unsampled q-gram) -> sentinel all-ones row / zeros==-1
+        k2r = index.kmer_to_row.astype(np.int32)
+        self.kmer_to_row = jnp.asarray(np.where(k2r < 0, g, k2r))
+        self.zeros = jnp.asarray(index.zeros)
+        # distinguishability threshold: (unsigned)(d * N) (q_gram_mapper.h:163)
+        self.dist_threshold = int(cfg.distinguishability * self.n_buckets)
+        self.sample_tab = jnp.asarray(
+            sample_table(cfg.mapper_samples, cfg.read_len))
+        self._query = jax.jit(self._query_impl)
+
+    # -------------------------------------------------------------------
+    def _query_impl(self, codes: jax.Array, quals: jax.Array, lengths: jax.Array):
+        """codes/quals: (B, L) uint8; lengths: (B,) int32.
+
+        Returns (candidates (B, 2, C) int32 -1-padded ascending,
+                 counts (B, 2) int32, num_good (B,) int32).
+        Axis 1 is strand: 0 = original, 1 = reverse complement.
+        """
+        cfg = self.cfg
+        k, q = cfg.query_seed, cfg.index_seed
+        s = cfg.mapper_samples
+        B, L = codes.shape
+        K = L - k + 1  # k-mer positions (padded tail masked below)
+        n = self.n_buckets
+        w = self.qgram_words.shape[1]
+        n_pad = w * 32
+        qbits = jnp.uint32(4**q - 1)
+
+        kmers = kmer_hashes(codes, k, xp=jnp)                       # (B, K)
+        qsums = window_quality_sums(quals, k, xp=jnp)               # (B, K)
+        pos = jnp.arange(K, dtype=jnp.int32)
+        valid = pos[None, :] < (lengths[:, None] - (k - 1))
+
+        # distinguishability: any contained q-gram with zeros >= threshold
+        disting = jnp.zeros((B, K), dtype=bool)
+        for i in range(k - q + 1):
+            gram = (kmers >> jnp.uint32(2 * i)) & qbits
+            z = self.zeros[self.kmer_to_row[gram]]
+            disting = disting | (z >= self.dist_threshold)
+
+        good = valid & disting & (qsums >= cfg.mapper_min_kmer_quality)
+        num_good = good.sum(axis=1).astype(jnp.int32)
+        give_up = num_good < min_good_kmers(cfg)
+
+        # stable extraction of good positions in increasing order
+        sort_key = jnp.where(good, pos[None, :], K + pos[None, :])
+        order = jnp.argsort(sort_key, axis=1)                       # (B, K)
+        ub = jnp.clip(num_good - 1, 0, self.sample_tab.shape[0] - 1)
+        sel = self.sample_tab[ub]                                   # (B, s)
+        samp_pos = jnp.take_along_axis(order, sel, axis=1)          # (B, s)
+        samp_hash = jnp.take_along_axis(kmers, samp_pos, axis=1)    # (B, s)
+
+        both = jnp.stack([samp_hash, revcomp_hash(samp_hash, k, xp=jnp)], axis=2)
+        # scan over samples: AND the q-gram occupancy rows, unpack, count
+        def step(hits, h):                                          # h: (B, 2)
+            presence = jnp.full((B, 2, w), 0xFFFFFFFF, dtype=jnp.uint32)
+            for i in range(k - q + 1):
+                gram = (h >> jnp.uint32(2 * i)) & qbits
+                rows = self.qgram_words[self.kmer_to_row[gram]]     # (B, 2, w)
+                presence = presence & rows
+            shifts = jnp.arange(32, dtype=jnp.uint32)
+            bits = (presence[..., None] >> shifts) & jnp.uint32(1)  # (B,2,w,32)
+            return hits + bits.reshape(B, 2, n_pad).astype(jnp.int8), None
+
+        hits0 = jnp.zeros((B, 2, n_pad), dtype=jnp.int8)
+        hits, _ = jax.lax.scan(step, hits0, both.transpose(1, 0, 2))
+
+        col = jnp.arange(n_pad, dtype=jnp.int32)
+        in_range = col[None, None, :] < n
+        hits = jnp.where(in_range, hits, jnp.int8(-1))
+        max_hits = hits.max(axis=2).astype(jnp.int32)               # (B, 2)
+        ok = (max_hits >= cfg.min_coarse_hits) & ~give_up[:, None]
+        mask = (hits == max_hits[..., None].astype(jnp.int8)) & ok[..., None] & in_range
+
+        counts = mask.sum(axis=2).astype(jnp.int32)
+        over = counts > cfg.max_candidate_buckets                   # clear (:471-476)
+        mask = mask & ~over[..., None]
+        counts = jnp.where(over, 0, counts)
+
+        score = jnp.where(mask, n_pad - col[None, None, :], 0)
+        vals, _ = jax.lax.top_k(score, cfg.max_candidate_buckets)
+        cand = jnp.where(vals > 0, n_pad - vals, -1).astype(jnp.int32)
+        return cand, counts, num_good
+
+    # -------------------------------------------------------------------
+    def query_batch(self, codes: np.ndarray, quals: np.ndarray,
+                    lengths: np.ndarray):
+        cand, counts, num_good = self._query(
+            jnp.asarray(codes), jnp.asarray(quals),
+            jnp.asarray(lengths, dtype=jnp.int32))
+        return np.asarray(cand), np.asarray(counts), np.asarray(num_good)
