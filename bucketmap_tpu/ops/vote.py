@@ -1,0 +1,180 @@
+"""Fine stage: in-bucket offset voting.
+
+The reference rebuilds an unordered_multimap<kmer, offset> per candidate
+bucket at locate time — its dominant cost (384.5 s of a 715 s GRCh38 run;
+bucket_locator.h:162-177 and SURVEY §3.2) — then lets ~10 sampled read
+k-mers vote for the implied segment start with +-allowed_indel merging
+(_find_offset, bucket_locator.h:209-290).
+
+TPU-native design: no per-bucket hash map at all. Bucket sequences live
+2-bit-packed in HBM (uint32[N, Wb]); for a batch of (segment, bucket,
+strand) pairs we gather the packed rows, expand to the bucket's k-mer
+hash array with a log-shift combine, compare against the segment's
+sampled k-mer hashes (a dense VPU compare), and accumulate a blurred
+vote histogram over proposed start positions:
+
+    proposal_j[x] = exists occurrence of sample j at bucket pos x + idx_j
+    votes[x]      = #{ j : exists proposal_j[y], |y - x| <= allowed_indel }
+
+winner = max votes, then smallest x (the reference's max_element
+comparator, bucket_locator.h:281-283); accepted iff votes >=
+locator_samples - allowed_mismatch and x >= 1 (offset>0 acceptance,
+bucket_locator.h:674).
+
+Divergence note: when a sampled k-mer occurs several times within
++-indel of the same proposal the reference counts each occurrence as a
+vote (can exceed num_samples); we count each sample at most once.
+Positions only differ on tandem-repetitive windows; acceptance and
+MAPQ agree except there.
+
+Reverse-complement pairs query the reverse-complemented sample hash at
+mirrored index seg_len - k - idx (bucket_locator.h:236-243).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bucketmap_tpu.config import MapperConfig
+from bucketmap_tpu.index.builder import BucketIndex
+from bucketmap_tpu.ops.encoding import kmer_hashes, revcomp_hash, unpack_2bit, window_quality_sums
+from bucketmap_tpu.ops.sampler import sample_table
+
+
+class FineLocator:
+    def __init__(self, index: BucketIndex, pair_batch: int = 256):
+        cfg = index.config
+        self.cfg = cfg
+        self.pair_batch = pair_batch
+        self.buckets_packed = jnp.asarray(index.buckets_packed)
+        self.bucket_lengths = jnp.asarray(index.bucket_lengths)
+        self.sample_tab = jnp.asarray(sample_table(cfg.locator_samples, cfg.read_len))
+        self._prepare = jax.jit(self._prepare_impl)
+        self._vote = jax.jit(self._vote_impl)
+
+    # ------------------------------------------------------------------
+    def _prepare_impl(self, codes, quals, lengths):
+        """Sample locator k-mers per segment (_prepare_read_query,
+        bucket_locator.h:292-347): quality gate only (no
+        distinguishability); if no k-mer passes, use all of them.
+
+        codes/quals: (S, read_len); lengths: (S,) segment lengths.
+        Returns samp_hash (S, p) uint32, samp_idx (S, p) int32.
+        """
+        cfg = self.cfg
+        k, p = cfg.query_seed, cfg.locator_samples
+        S, L = codes.shape
+        K = L - k + 1
+        kmers = kmer_hashes(codes, k, xp=jnp)
+        qsums = window_quality_sums(quals, k, xp=jnp)
+        pos = jnp.arange(K, dtype=jnp.int32)
+        valid = pos[None, :] < (lengths[:, None] - (k - 1))
+        good = valid & (qsums >= cfg.mapper_min_kmer_quality)
+        num_good = good.sum(axis=1).astype(jnp.int32)
+        # fallback: all valid k-mers when none pass (bucket_locator.h:330-332)
+        use_all = num_good == 0
+        good = jnp.where(use_all[:, None], valid, good)
+        num_good = jnp.where(use_all, valid.sum(axis=1).astype(jnp.int32), num_good)
+
+        sort_key = jnp.where(good, pos[None, :], K + pos[None, :])
+        order = jnp.argsort(sort_key, axis=1)
+        ub = jnp.clip(num_good - 1, 0, self.sample_tab.shape[0] - 1)
+        sel = self.sample_tab[ub]                                 # (S, p)
+        samp_idx = jnp.take_along_axis(order, sel, axis=1).astype(jnp.int32)
+        samp_hash = jnp.take_along_axis(kmers, samp_idx, axis=1)
+        return samp_hash, samp_idx
+
+    # ------------------------------------------------------------------
+    def _vote_impl(self, bucket_ids, is_rc, samp_hash, samp_idx, seg_len):
+        """bucket_ids (P,) int32; is_rc (P,) bool; samp_hash (P, p) uint32;
+        samp_idx (P, p) int32; seg_len (P,) int32.
+        Returns (offset (P,) int32 segment start in bucket, votes (P,) int32,
+        accept (P,) bool).
+        """
+        cfg = self.cfg
+        k, p, indel = cfg.query_seed, cfg.locator_samples, cfg.allowed_indel
+        P = bucket_ids.shape[0]
+        wb = self.buckets_packed.shape[1]
+        lb = wb * 16
+        lpos = lb - k + 1
+        S = cfg.read_len  # max |negative| proposed start
+        lv = S + lpos
+
+        packed = self.buckets_packed[bucket_ids]                  # (P, Wb)
+        blen = self.bucket_lengths[bucket_ids]                    # (P,)
+        codes = unpack_2bit(packed, lb, xp=jnp)                   # (P, Lb)
+        bk = kmer_hashes(codes, k, xp=jnp)                        # (P, Lpos)
+        bpos = jnp.arange(lpos, dtype=jnp.int32)
+        bvalid = bpos[None, :] <= (blen[:, None] - k)
+
+        tgt_hash = jnp.where(is_rc[:, None],
+                             revcomp_hash(samp_hash, k, xp=jnp), samp_hash)
+        tgt_idx = jnp.where(is_rc[:, None],
+                            seg_len[:, None] - k - samp_idx, samp_idx)
+        # reverse-complement pairs iterate samples last-to-first
+        # (bucket_locator.h:233-236) — irrelevant here: voting is order-free.
+
+        def one_sample(j):
+            match = (bk == tgt_hash[:, j][:, None]) & bvalid      # (P, Lpos)
+            padded = jnp.pad(match, ((0, 0), (S, S)))
+            # proposal[xi] (xi = x + S) = match[x + t] = padded[xi + t]
+            def slice_row(row, t):
+                return jax.lax.dynamic_slice(row, (t,), (lv,))
+            prop = jax.vmap(slice_row)(padded, jnp.clip(tgt_idx[:, j], 0, S))
+            return prop
+
+        direct = jnp.zeros((P, lv), dtype=bool)
+        votes = jnp.zeros((P, lv), dtype=jnp.int32)
+        for j in range(p):
+            prop = one_sample(j)
+            # dilate +-indel: a sample votes for any proposal within the window
+            dil = jax.lax.reduce_window(
+                prop, False, jax.lax.bitwise_or,
+                window_dimensions=(1, 2 * indel + 1),
+                window_strides=(1, 1), padding="SAME")
+            direct = direct | prop
+            votes = votes + dil.astype(jnp.int32)
+
+        xi = jnp.arange(lv, dtype=jnp.int32)
+        # lexicographic: max votes, then smallest x; only direct proposals count
+        score = jnp.where(direct, votes * (lv + 1) + (lv - xi)[None, :], -1)
+        best = jnp.argmax(score, axis=1)
+        best_votes = jnp.take_along_axis(votes, best[:, None], axis=1)[:, 0]
+        offset = best - S
+        any_direct = direct.any(axis=1)
+        accept = (any_direct
+                  & (best_votes >= cfg.min_vote)
+                  & (offset >= 1))
+        return offset.astype(jnp.int32), best_votes, accept
+
+    # ------------------------------------------------------------------
+    def prepare(self, codes: np.ndarray, quals: np.ndarray, lengths: np.ndarray):
+        h, i = self._prepare(jnp.asarray(codes), jnp.asarray(quals),
+                             jnp.asarray(lengths, dtype=jnp.int32))
+        return np.asarray(h), np.asarray(i)
+
+    def vote(self, bucket_ids, is_rc, samp_hash, samp_idx, seg_len):
+        """Batched voting with host-side padding to the pair-batch size."""
+        n = len(bucket_ids)
+        out_off = np.zeros(n, dtype=np.int32)
+        out_votes = np.zeros(n, dtype=np.int32)
+        out_acc = np.zeros(n, dtype=bool)
+        pb = self.pair_batch
+        for s in range(0, n, pb):
+            e = min(s + pb, n)
+            pad = pb - (e - s)
+            def _pad(a, fill=0):
+                a = np.asarray(a[s:e])
+                return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
+            off, v, acc = self._vote(
+                jnp.asarray(_pad(bucket_ids)), jnp.asarray(_pad(is_rc)),
+                jnp.asarray(_pad(samp_hash)), jnp.asarray(_pad(samp_idx)),
+                jnp.asarray(_pad(seg_len, fill=1)))
+            out_off[s:e] = np.asarray(off)[: e - s]
+            out_votes[s:e] = np.asarray(v)[: e - s]
+            out_acc[s:e] = np.asarray(acc)[: e - s]
+        return out_off, out_votes, out_acc
