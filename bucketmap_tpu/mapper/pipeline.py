@@ -87,7 +87,7 @@ class BucketMapPipeline:
         self.fine = FineLocator(index, pair_batch=pair_batch)
         if align:
             from bucketmap_tpu.ops.align import BandedAligner
-            self.aligner = BandedAligner(index)
+            self.aligner = BandedAligner(index, pair_batch=pair_batch)
         self._bucket_sam_offset = index.ref_offset_of_bucket()
 
     # ------------------------------------------------------------------
@@ -204,6 +204,28 @@ class BucketMapPipeline:
         bucket_sam_off = self._bucket_sam_offset
         qt = cfg.quality_threshold if quality_threshold is None else quality_threshold
 
+        align_results = None
+        if self.align:
+            # batch every accepted location through the banded aligner
+            loc_read, loc_bucket, loc_off, loc_rc = [], [], [], []
+            for r in range(batch.num_reads):
+                for loc in per_read[r]:
+                    loc_read.append(r)
+                    loc_bucket.append(loc.bucket)
+                    loc_off.append(loc.offset)
+                    loc_rc.append(not loc.is_orig)
+            if loc_read:
+                loc_read = np.asarray(loc_read, np.int32)
+                scores, begins, ops = self.aligner.align_batch(
+                    batch.codes[loc_read], batch.lengths[loc_read],
+                    np.asarray(loc_bucket, np.int32),
+                    np.asarray(loc_off, np.int32),
+                    np.asarray(loc_rc, bool))
+                align_results = (scores, begins, ops)
+            idx = 0
+
+        from bucketmap_tpu.ops.align import ops_to_cigar
+
         for r in range(batch.num_reads):
             locs = per_read[r]
             seq = batch.seq_ascii[r, : batch.lengths[r]].tobytes().decode()
@@ -219,13 +241,21 @@ class BucketMapPipeline:
                     stats.mapped_locations += 1
             else:
                 for loc in locs:
-                    rec = self.aligner.align_location(batch, r, loc, qt)
-                    if rec is None:
+                    score = int(align_results[0][idx])
+                    begin = int(align_results[1][idx])
+                    ops_row = align_results[2][idx]
+                    idx += 1
+                    # size_t wrap: scores below -60 bypass the threshold
+                    # (bucket_locator.h:571); seqan3 then truncates to uint8
+                    mapq = 60 + score
+                    if mapq < 0:
+                        mapq &= 0xFF
+                    elif mapq < qt:
                         continue
                     flag = 0 if loc.is_orig else 16
-                    pos0 = int(bucket_sam_off[loc.bucket]) + rec.ref_begin + loc.offset
+                    pos0 = int(bucket_sam_off[loc.bucket]) + begin + loc.offset
                     writer.write(batch.ids[r], flag, bucket_names[loc.bucket],
-                                 pos0, rec.mapq, seq, qual, rec.cigar)
+                                 pos0, mapq, seq, qual, ops_to_cigar(ops_row))
                     stats.mapped_locations += 1
         writer.close()
         stats.output_seconds = time.perf_counter() - t0

@@ -1,0 +1,200 @@
+"""Verification stage: banded semi-global alignment with CIGAR traceback.
+
+Equivalent of the reference's SeqAn3 align_pairwise call
+(bucket_locator.h:520-589): global alignment with free leading/trailing
+gaps on sequence1 (the reference-window text) only, edit scheme
+(match 0 / mismatch -1 / gap -1), outputs score, begin position in the
+text, and a CIGAR (M/I/D, as seqan3::cigar_from_alignment emits).
+
+TPU-native formulation: batched banded DP over pairs. Rows = query
+positions (sequential scan), band = 128 diagonals (j - i in [-32, 96)),
+all pairs advance together on the VPU. The intra-row dependency of the
+left (text-gap) move is solved in closed form with a cummax transform:
+
+    new[d] = max(base[d], new[d-1] - 1)
+           = cummax(base[d] + d) - d          (max-plus prefix scan)
+
+Direction codes are stored per cell (uint8, 2 bits used) and traced
+back on device; the host only run-length-encodes the op strings.
+
+Window semantics match the reference: text = bucket[offset : offset +
+min(qlen + 1 + trunc(indel_rate*qlen), blen - offset)]; for reverse-
+strand hits the *window* is reverse-complemented and aligned against
+the original read, and the begin position is reported in the
+reverse-complemented window's coordinates (reference behavior — its
+reverse-strand POS is systematically ~(width-qlen) high, within the
+analyzer's tolerance; we reproduce it for agreement).
+
+MAPQ = 60 + score as size_t: scores below -60 wrap (bucket_locator.h:571)
+and bypass the quality threshold; we reproduce the wrap mod 256.
+
+Divergence note: co-optimal tracebacks are canonicalized diagonal-first
+(then up), which may pick a different CIGAR than seqan3 among
+equal-score alignments; scores and positions agree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bucketmap_tpu.config import MapperConfig
+from bucketmap_tpu.index.builder import BucketIndex
+
+NEG = -(10**8)
+BAND = 128
+LO = 32          # j - i >= -LO
+_OP_CHARS = {1: "M", 2: "I", 3: "D"}
+
+
+class BandedAligner:
+    def __init__(self, index: BucketIndex, pair_batch: int = 512):
+        self.index = index
+        self.cfg = index.config
+        self.pair_batch = pair_batch
+        self.buckets_packed = jnp.asarray(index.buckets_packed)
+        self.bucket_lengths = jnp.asarray(index.bucket_lengths)
+        self._align = jax.jit(self._align_impl)
+
+    # ------------------------------------------------------------------
+    def _extract_windows(self, bucket_ids, offsets, wmax: int):
+        """Gather text windows (P, wmax) of base codes from packed buckets.
+
+        Only the needed word range is sliced per pair (not the whole
+        bucket). Positions beyond the bucket read as code 0; callers mask
+        by width.
+        """
+        words_needed = wmax // 16 + 2
+        packed = self.buckets_packed[bucket_ids]             # (P, Wb)
+        word0 = jnp.clip(offsets, 0, None) // 16
+
+        def slice_row(row, w0):
+            return jax.lax.dynamic_slice(row, (w0,), (words_needed,))
+        wb = self.buckets_packed.shape[1]
+        win_words = jax.vmap(slice_row)(packed, jnp.clip(word0, 0, wb - words_needed))
+        shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+        bases = (win_words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
+        flat = bases.reshape(bases.shape[0], -1)             # (P, 16*words_needed)
+        start = jnp.clip(offsets, 0, None) - word0 * 16      # in [0, 16)
+
+        def shift_row(row, s):
+            return jax.lax.dynamic_slice(row, (s,), (wmax,))
+        return jax.vmap(shift_row)(flat, start)
+
+    # ------------------------------------------------------------------
+    def _align_impl(self, qcodes, qlen, bucket_ids, offsets, is_rc, width):
+        """qcodes (P, Q) uint8; qlen/offsets/width (P,) int32; is_rc (P,) bool.
+
+        Returns score (P,) int32, begin (P,) int32 (text begin position),
+        ops (P, Q + 2*LO) uint8 reversed traceback codes (0 = unused).
+        """
+        P, Q = qcodes.shape
+        wmax = Q + BAND  # static upper bound on window length
+        text = self._extract_windows(bucket_ids, offsets, wmax).astype(jnp.int32)
+        jcol = jnp.arange(wmax, dtype=jnp.int32)
+        in_win = jcol[None, :] < width[:, None]
+        # reverse-complement the *window* for reverse-strand pairs
+        rc_idx = jnp.clip(width[:, None] - 1 - jcol[None, :], 0, wmax - 1)
+        text_rc = 3 - jnp.take_along_axis(text, rc_idx, axis=1)
+        text = jnp.where(is_rc[:, None], text_rc, text)
+        text = jnp.where(in_win, text, 4)                    # sentinel: never matches
+
+        # left-pad by LO so row i reads text[(i-1) + d - LO] as a slice at i-1
+        textp = jnp.pad(text, ((0, 0), (LO, 0)), constant_values=4)
+
+        d_idx = jnp.arange(BAND, dtype=jnp.int32)
+        # row 0: M[0][j] = 0 for 0 <= j <= width else NEG ; j = d - LO
+        j0 = d_idx[None, :] - LO
+        row0 = jnp.where((j0 >= 0) & (j0 <= width[:, None]), 0, NEG)
+
+        def step(carry, i):
+            prev, final_row = carry
+            qchar = qcodes[:, i - 1].astype(jnp.int32)       # (P,)
+            trow = jax.lax.dynamic_slice_in_dim(textp, i - 1, BAND, axis=1)
+            sub = jnp.where(trow == qchar[:, None], 0, -1)
+            diag = prev + sub
+            up = jnp.concatenate([prev[:, 1:], jnp.full((P, 1), NEG, jnp.int32)],
+                                 axis=1) - 1
+            base = jnp.maximum(diag, up)
+            m = jax.lax.cummax(base + d_idx[None, :], axis=1) - d_idx[None, :]
+            # cell validity: j = i + d - LO within [0, width]
+            j = i + d_idx[None, :] - LO
+            valid = (j >= 0) & (j <= width[:, None])
+            m = jnp.where(valid, m, NEG)
+            dirs = jnp.where(m == diag, 1, jnp.where(m == up, 2, 3)).astype(jnp.uint8)
+            dirs = jnp.where(valid & (m > NEG // 2), dirs, 0)
+            final_row = jnp.where((i == qlen)[:, None], m, final_row)
+            return (m, final_row), dirs
+
+        init_final = jnp.where((qlen == 0)[:, None], row0, jnp.full((P, BAND), NEG))
+        (_, final_row), dirs = jax.lax.scan(
+            step, (row0, init_final), jnp.arange(1, Q + 1))
+        dirs = jnp.concatenate(
+            [jnp.zeros((1, P, BAND), jnp.uint8), dirs])      # row 0 all stop
+
+        score = final_row.max(axis=1)
+        # smallest j among co-optimal ends
+        end_d = jnp.argmax(final_row, axis=1).astype(jnp.int32)
+
+        # traceback (device): build reversed op list
+        max_ops = Q + 2 * LO
+
+        def tb_step(state, t):
+            i, d, ops = state
+            cur = dirs[i, jnp.arange(P), jnp.clip(d, 0, BAND - 1)]
+            active = (i > 0)
+            op = jnp.where(active, cur, 0).astype(jnp.uint8)
+            ops = ops.at[:, t].set(op)
+            i = jnp.where(active & (op != 3), i - 1, i)
+            d = jnp.where(op == 2, d + 1, jnp.where(op == 3, d - 1, d))
+            return (i, d, ops), None
+
+        ops0 = jnp.zeros((P, max_ops), dtype=jnp.uint8)
+        (fin_i, fin_d, ops), _ = jax.lax.scan(
+            tb_step, (qlen, end_d, ops0), jnp.arange(max_ops))
+        begin = fin_d - LO                                   # j at i == 0
+        return score, begin, ops
+
+    # ------------------------------------------------------------------
+    def align_batch(self, qcodes: np.ndarray, qlen, bucket_ids, offsets, is_rc):
+        """Batched with host padding; returns (score, begin, ops) numpy."""
+        cfg = self.cfg
+        n = len(bucket_ids)
+        q = qcodes.shape[1]
+        width = np.minimum(
+            qlen + 1 + (cfg.indel_rate * qlen).astype(np.int64),
+            np.asarray(self.index.bucket_lengths)[bucket_ids] - offsets,
+        ).astype(np.int32)
+        out_s = np.zeros(n, np.int32)
+        out_b = np.zeros(n, np.int32)
+        out_ops = np.zeros((n, q + 2 * LO), np.uint8)
+        pb = self.pair_batch
+        for s in range(0, n, pb):
+            e = min(s + pb, n)
+            pad = pb - (e - s)
+            def _p(a, fill=0):
+                a = np.asarray(a[s:e])
+                return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
+            sc, bg, ops = self._align(
+                jnp.asarray(_p(qcodes)), jnp.asarray(_p(qlen, 1), dtype=jnp.int32),
+                jnp.asarray(_p(bucket_ids)), jnp.asarray(_p(offsets)),
+                jnp.asarray(_p(is_rc)), jnp.asarray(_p(width, 1)))
+            out_s[s:e] = np.asarray(sc)[: e - s]
+            out_b[s:e] = np.asarray(bg)[: e - s]
+            out_ops[s:e] = np.asarray(ops)[: e - s]
+        return out_s, out_b, out_ops
+
+
+def ops_to_cigar(ops_row: np.ndarray) -> str:
+    """Reversed op codes -> CIGAR string (run-length encoded)."""
+    codes = ops_row[ops_row != 0][::-1]
+    if len(codes) == 0:
+        return "*"
+    # vectorized RLE
+    change = np.nonzero(np.diff(codes))[0]
+    starts = np.concatenate([[0], change + 1])
+    ends = np.concatenate([change + 1, [len(codes)]])
+    return "".join(f"{e - s}{_OP_CHARS[int(codes[s])]}" for s, e in zip(starts, ends))

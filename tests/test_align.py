@@ -1,0 +1,141 @@
+"""Banded aligner vs. a full (unbanded) numpy DP oracle."""
+
+import numpy as np
+import pytest
+
+from bucketmap_tpu.config import MapperConfig
+from bucketmap_tpu.index.builder import build_index
+from bucketmap_tpu.io.fastq import read_fastq
+from bucketmap_tpu.io.sam import read_sam
+from bucketmap_tpu.mapper.pipeline import BucketMapPipeline
+from bucketmap_tpu.ops.align import BandedAligner, ops_to_cigar
+from bucketmap_tpu.ops.encoding import revcomp_codes
+from bucketmap_tpu.sim.simulator import ShortReadSimulator, random_genome
+
+CFG = MapperConfig(bucket_len=4096, read_len=150, index_seed=6, query_seed=9,
+                   mapper_samples=8)
+
+
+def oracle_semiglobal(text, query):
+    """Full DP: free end gaps on text only; edit scheme. Returns
+    (score, begin) with seqan-style objective; begin = leftmost among
+    co-optimal *under diagonal-first traceback from leftmost best end*."""
+    T, Q = len(text), len(query)
+    M = np.full((Q + 1, T + 1), -(10**8), dtype=np.int64)
+    M[0, :] = 0
+    for i in range(1, Q + 1):
+        for j in range(0, T + 1):
+            best = M[i - 1, j] - 1
+            if j > 0:
+                sub = 0 if text[j - 1] == query[i - 1] else -1
+                best = max(best, M[i - 1, j - 1] + sub, M[i, j - 1] - 1)
+            M[i, j] = best
+    score = M[Q].max()
+    return int(score), M
+
+
+@pytest.fixture(scope="module")
+def world():
+    genome = random_genome(120_000, seed=41, n_refs=2)
+    index = build_index(genome, CFG)
+    return genome, index
+
+
+def test_align_scores_match_oracle(world):
+    genome, index = world
+    rng = np.random.RandomState(5)
+    aligner = BandedAligner(index, pair_batch=16)
+
+    qlen = 120
+    n = 16
+    buckets = rng.randint(0, index.n_buckets, n).astype(np.int32)
+    offsets = rng.randint(1, 3000, n).astype(np.int32)
+    qcodes = np.zeros((n, qlen), np.uint8)
+    expected = []
+    for i in range(n):
+        bcodes = genome_codes(genome, index, int(buckets[i]))
+        frag = bcodes[offsets[i] : offsets[i] + qlen].copy()
+        # add up to 3 substitutions + 1 indel
+        for _ in range(rng.randint(0, 4)):
+            p = rng.randint(qlen)
+            frag[p] = (frag[p] + 1 + rng.randint(3)) % 4
+        qcodes[i] = frag
+        width = min(qlen + 1 + int(CFG.indel_rate * qlen),
+                    len(bcodes) - offsets[i])
+        text = bcodes[offsets[i] : offsets[i] + width]
+        score, _ = oracle_semiglobal(text, frag)
+        expected.append(score)
+
+    scores, begins, ops = aligner.align_batch(
+        qcodes, np.full(n, qlen, np.int32), buckets, offsets,
+        np.zeros(n, bool))
+    np.testing.assert_array_equal(scores, expected)
+    # begin positions sane and CIGARs consume the full query
+    for i in range(n):
+        assert 0 <= begins[i] <= 10
+        cigar = ops_to_cigar(ops[i])
+        consumed = cigar_query_len(cigar)
+        assert consumed == qlen, (cigar, consumed)
+
+
+def cigar_query_len(cigar):
+    import re
+    return sum(int(n) for n, op in re.findall(r"(\d+)([MID])", cigar)
+               if op in ("M", "I"))
+
+
+def genome_codes(genome, index, bucket):
+    from bucketmap_tpu.index.builder import iterate_buckets
+    for b, (_rid, _start, codes) in enumerate(iterate_buckets(genome, CFG)):
+        if b == bucket:
+            return codes.copy()
+    raise KeyError(bucket)
+
+
+def test_align_revcomp_window_semantics(world):
+    """Reverse-strand: the reference aligns the revcomp'd window against
+    the original read; begin is in revcomp-window coordinates."""
+    genome, index = world
+    aligner = BandedAligner(index, pair_batch=8)
+    bcodes = genome_codes(genome, index, 3)
+    qlen, off = 100, 500
+    frag = bcodes[off : off + qlen]
+    read = revcomp_codes(frag)  # read sampled from reverse strand
+    qcodes = read[None, :].astype(np.uint8)
+    scores, begins, ops = aligner.align_batch(
+        qcodes, np.array([qlen], np.int32), np.array([3], np.int32),
+        np.array([off], np.int32), np.array([True]))
+    assert scores[0] == 0  # perfect match
+    width = qlen + 1 + int(CFG.indel_rate * qlen)
+    # perfect alignment sits at the END of the revcomp window:
+    # begin = width - qlen
+    assert begins[0] == width - qlen
+    assert ops_to_cigar(ops[0]) == f"{qlen}M"
+
+
+def test_e2e_align_mode(world, tmp_path):
+    genome, index = world
+    sim = ShortReadSimulator(CFG, substitution_rate=0.01, insertion_rate=0.001,
+                             deletion_rate=0.001, seed=42)
+    sim.read(genome)
+    paths = sim.generate(tmp_path, "al", 200)
+    batch = read_fastq(paths["fastq"])
+    pipe = BucketMapPipeline(index, align=True, batch_size=128, pair_batch=64)
+    stats = pipe.map_reads(batch, tmp_path / "al.sam")
+    assert stats.mapped_locations >= 180
+
+    gt = [line.split() for line in open(paths["position_gt"])]
+    recs = {}
+    for rec in read_sam(tmp_path / "al.sam"):
+        assert rec["cigar"] != "*"
+        assert rec["mapq"] >= 40 or rec["mapq"] > 200  # threshold or wrap
+        recs.setdefault(rec["qname"], []).append(rec)
+    correct = 0
+    for i, (rid, pos, rc, _cigar) in enumerate(gt):
+        for rec in recs.get(str(i), []):
+            ref_ok = rec["rname"] == index.ref_names[int(rid)].split(" ")[0]
+            strand_ok = (rec["flag"] & 16 == 16) == bool(int(rc))
+            if ref_ok and strand_ok and abs(rec["pos"] - int(pos)) <= 10:
+                correct += 1
+                break
+    assert correct >= 170, f"{correct}/200"
