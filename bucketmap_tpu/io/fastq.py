@@ -32,9 +32,18 @@ class ReadBatch:
         return len(self.ids)
 
 
-def read_fastq(path: str | os.PathLike, max_len: int | None = None) -> ReadBatch:
+def read_fastq(path: str | os.PathLike, max_len: int | None = None,
+               use_native: bool = True) -> ReadBatch:
     with open(path, "rb") as f:
         data = f.read()
+    if use_native:
+        from bucketmap_tpu.io import native
+        res = native.parse_fastq_bytes(data, max_len=max_len)
+        if res is not None:
+            ids, codes, quals, lengths, seq_ascii, qual_ascii = res
+            return ReadBatch(ids=ids, codes=codes, quals=quals,
+                             lengths=lengths, seq_ascii=seq_ascii,
+                             qual_ascii=qual_ascii)
     if data.endswith(b"\n"):
         data = data[:-1]
     # Line index via newline scan (no per-read python loop for the payload).

@@ -1,0 +1,128 @@
+"""ctypes bindings for the native host-IO library (csrc/bmtpu_io.cpp).
+
+Builds the shared library on first use (g++ via csrc/Makefile) and falls
+back to the numpy implementations when unavailable. The device pipeline
+is unaffected either way — this accelerates the host edges (FASTQ
+parse ~10x, SAM formatting ~10x over the python/numpy paths).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc")
+_SO = os.path.join(_CSRC, "build", "libbmtpu_io.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO):
+                subprocess.run(["make", "-C", _CSRC], check=True,
+                               capture_output=True)
+            lib = ctypes.CDLL(_SO)
+            i64, i32, u8p, c_p = (ctypes.c_int64, ctypes.c_int32,
+                                  np.ctypeslib.ndpointer(np.uint8),
+                                  ctypes.c_char_p)
+            i64p = np.ctypeslib.ndpointer(np.int64)
+            i32p = np.ctypeslib.ndpointer(np.int32)
+            lib.bmtpu_fastq_stat.restype = i64
+            lib.bmtpu_fastq_stat.argtypes = [c_p, i64,
+                                             ctypes.POINTER(ctypes.c_int64),
+                                             ctypes.POINTER(ctypes.c_int64)]
+            lib.bmtpu_fastq_parse.restype = i64
+            lib.bmtpu_fastq_parse.argtypes = [
+                c_p, i64, i64, u8p, u8p, u8p, u8p, i32p, i64p,
+                np.ctypeslib.ndpointer(np.uint8), i64]
+            lib.bmtpu_format_sam.restype = i64
+            lib.bmtpu_format_sam.argtypes = [
+                i64, i32p, i64p, np.ctypeslib.ndpointer(np.uint8),
+                i32p, i32p, i64p, np.ctypeslib.ndpointer(np.uint8),
+                i64p, i32p, i64p, np.ctypeslib.ndpointer(np.uint8),
+                i32p, i32p, u8p, u8p, i64, np.ctypeslib.ndpointer(np.uint8), i64]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_fastq_bytes(data: bytes, max_len: int | None = None):
+    """Native FASTQ parse. Returns the same tuple shape the numpy parser
+    builds: (ids list, codes, quals, lengths, seq_ascii, qual_ascii) or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = ctypes.c_int64()
+    ml = ctypes.c_int64()
+    if lib.bmtpu_fastq_stat(data, len(data), ctypes.byref(n), ctypes.byref(ml)) != 0:
+        raise ValueError("malformed FASTQ (native parser)")
+    n, ml_detected = n.value, ml.value
+    L = ml_detected if max_len is None else max(max_len, ml_detected)
+    codes = np.zeros((n, L), np.uint8)
+    quals = np.zeros((n, L), np.uint8)
+    seq_ascii = np.zeros((n, L), np.uint8)
+    qual_ascii = np.zeros((n, L), np.uint8)
+    lengths = np.zeros(n, np.int32)
+    id_offsets = np.zeros(n + 1, np.int64)
+    ids_buf = np.zeros(len(data), np.uint8)
+    r = lib.bmtpu_fastq_parse(data, len(data), L, codes, quals, seq_ascii,
+                              qual_ascii, lengths, id_offsets, ids_buf,
+                              len(ids_buf))
+    if r < 0:
+        raise ValueError("malformed FASTQ (native parser, pass 2)")
+    raw = ids_buf[:r].tobytes()
+    ids = [raw[id_offsets[i]:id_offsets[i + 1]].decode()
+           for i in range(n)]
+    return ids, codes, quals, lengths, seq_ascii, qual_ascii
+
+
+def format_sam_records(qid, id_offsets, ids_buf, flag, rid, rname_offsets,
+                       rnames_buf, pos0, mapq, cigar_offsets, cigar_buf,
+                       read_row, seq_len, seq_ascii, qual_ascii):
+    """Native batched SAM record formatting -> bytes, or None if lib absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(qid)
+    max_len = seq_ascii.shape[1]
+    est = int(cigar_offsets[-1]) + int(2 * np.sum(seq_len)) + 96 * n + \
+        int(id_offsets[-1]) + int(rname_offsets[-1])
+    out = np.zeros(est + 4096, np.uint8)
+    w = lib.bmtpu_format_sam(
+        n, np.ascontiguousarray(qid, np.int32),
+        np.ascontiguousarray(id_offsets, np.int64),
+        np.frombuffer(ids_buf, np.uint8) if isinstance(ids_buf, bytes) else ids_buf,
+        np.ascontiguousarray(flag, np.int32),
+        np.ascontiguousarray(rid, np.int32),
+        np.ascontiguousarray(rname_offsets, np.int64),
+        np.frombuffer(rnames_buf, np.uint8) if isinstance(rnames_buf, bytes) else rnames_buf,
+        np.ascontiguousarray(pos0, np.int64),
+        np.ascontiguousarray(mapq, np.int32),
+        np.ascontiguousarray(cigar_offsets, np.int64),
+        np.frombuffer(cigar_buf, np.uint8) if isinstance(cigar_buf, bytes) else cigar_buf,
+        np.ascontiguousarray(read_row, np.int32),
+        np.ascontiguousarray(seq_len, np.int32),
+        np.ascontiguousarray(seq_ascii, np.uint8),
+        np.ascontiguousarray(qual_ascii, np.uint8),
+        max_len, out, len(out))
+    if w < 0:
+        raise RuntimeError("SAM output buffer overflow")
+    return out[:w].tobytes()

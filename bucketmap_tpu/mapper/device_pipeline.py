@@ -1,0 +1,137 @@
+"""Single-dispatch device map step.
+
+Measured on the remote-TPU setup: the XLA kernels are microseconds per
+batch but every dispatch costs ~25 ms of round-trip latency and
+downloads are slow. So the whole per-batch pipeline — coarse scoring,
+locator sampling, candidate->pair compaction, and chunked fine voting —
+runs as ONE jitted program, and the host downloads only the compact
+per-lane results. Dispatches stay asynchronous, so consecutive batches
+overlap transfer and compute.
+
+Pair compaction: the (B, 2, C) candidate tensor is flattened and valid
+lanes are packed (argsort on lane index, invalid keys pushed to the
+end) into a fixed pair budget P. If a batch ever produces more than P
+pairs (heavily repetitive genomes), the host detects it from the
+returned total and re-runs the spilled lanes through the unfused
+FineLocator path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bucketmap_tpu.index.builder import BucketIndex
+from bucketmap_tpu.ops.coarse import CoarseMapper
+from bucketmap_tpu.ops.vote import FineLocator
+
+
+class DeviceMapper:
+    def __init__(self, index: BucketIndex, batch_size: int = 8192,
+                 pairs_per_read: int = 4, vote_chunk: int = 1024,
+                 mesh: jax.sharding.Mesh | None = None,
+                 data_axis: str = "data", bucket_axis: str = "bucket"):
+        self.index = index
+        self.cfg = index.config
+        self.batch_size = batch_size
+        self.vote_chunk = vote_chunk
+        p = batch_size * pairs_per_read
+        self.pair_budget = (p + vote_chunk - 1) // vote_chunk * vote_chunk
+        self.coarse = CoarseMapper(index)
+        self.fine = FineLocator(index)
+        if mesh is not None:
+            P = jax.sharding.PartitionSpec
+            ns = lambda *spec: jax.sharding.NamedSharding(mesh, P(*spec))
+            self.coarse.qgram_words = jax.device_put(
+                self.coarse.qgram_words, ns(None, bucket_axis))
+            self.coarse.kmer_to_row = jax.device_put(self.coarse.kmer_to_row, ns())
+            self.coarse.zeros = jax.device_put(self.coarse.zeros, ns())
+            self.coarse.sample_tab = jax.device_put(self.coarse.sample_tab, ns())
+            self.fine.buckets_packed = jax.device_put(self.fine.buckets_packed, ns())
+            self.fine.bucket_lengths = jax.device_put(self.fine.bucket_lengths, ns())
+            self.fine.sample_tab = jax.device_put(self.fine.sample_tab, ns())
+            self._data_sharding = ns(data_axis)
+            self._data_sharding2 = ns(data_axis, None)
+        else:
+            self._data_sharding = None
+        self._step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, qgram_words, kmer_to_row, zeros, c_sample_tab,
+                   buckets_packed, bucket_lengths, f_sample_tab,
+                   codes, quals, lengths):
+        cfg = self.cfg
+        B = codes.shape[0]
+        C = cfg.max_candidate_buckets
+        P = self.pair_budget
+        cand, counts, _ = self.coarse._query_impl(
+            qgram_words, kmer_to_row, zeros, c_sample_tab, codes, quals, lengths)
+        samp_hash, samp_idx = self.fine._prepare_impl(
+            f_sample_tab, codes, quals, lengths)
+
+        # ---- compact valid candidate lanes into the pair budget ----------
+        flat = cand.reshape(-1)                       # (B*2*C,)
+        nl = flat.shape[0]
+        lane = jnp.arange(nl, dtype=jnp.int32)
+        key = jnp.where(flat >= 0, lane, nl)
+        order = jnp.argsort(key)                      # valid lanes first
+        sel = order[:P]                               # (P,)
+        total_valid = (flat >= 0).sum().astype(jnp.int32)
+        slot_ok = jnp.arange(P, dtype=jnp.int32) < total_valid
+        lane_read = sel // (2 * C)
+        lane_rc = ((sel // C) % 2).astype(bool)
+        lane_bucket = jnp.clip(flat[sel], 0, None).astype(jnp.int32)
+
+        # ---- chunked voting (sequential inside one dispatch) -------------
+        # chunks whose lanes are all padding (compaction puts valid lanes
+        # first) skip the vote entirely via cond
+        ch = self.vote_chunk
+        n_chunks = P // ch
+
+        def chunk_fn(args):
+            ci, b, rc, sh, si, sl = args
+
+            def live(_):
+                return self.fine._vote_impl(buckets_packed, bucket_lengths,
+                                            b, rc, sh, si, sl)
+
+            def dead(_):
+                z = jnp.zeros(b.shape, jnp.int32)
+                return z, z, jnp.zeros(b.shape, bool)
+
+            return jax.lax.cond(ci * ch < total_valid, live, dead, None)
+
+        xs = (jnp.arange(n_chunks, dtype=jnp.int32),
+              lane_bucket.reshape(n_chunks, ch),
+              lane_rc.reshape(n_chunks, ch),
+              samp_hash[lane_read].reshape(n_chunks, ch, -1),
+              samp_idx[lane_read].reshape(n_chunks, ch, -1),
+              lengths[lane_read].reshape(n_chunks, ch))
+        off, votes, acc = jax.lax.map(chunk_fn, xs)
+        acc = acc.reshape(P) & slot_ok
+
+        return {
+            "lane_read": lane_read, "lane_rc": lane_rc,
+            "lane_bucket": lane_bucket,
+            "offset": off.reshape(P), "votes": votes.reshape(P),
+            "accept": acc,
+            "counts": counts.astype(jnp.int16),
+            "total_valid": total_valid,
+        }
+
+    # ------------------------------------------------------------------
+    def step(self, codes: np.ndarray, quals: np.ndarray, lengths: np.ndarray):
+        """Async dispatch; returns device outputs (don't block)."""
+        codes = jnp.asarray(codes)
+        quals = jnp.asarray(quals)
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        if self._data_sharding is not None:
+            codes = jax.device_put(codes, self._data_sharding2)
+            quals = jax.device_put(quals, self._data_sharding2)
+            lengths = jax.device_put(lengths, self._data_sharding)
+        return self._step(
+            self.coarse.qgram_words, self.coarse.kmer_to_row, self.coarse.zeros,
+            self.coarse.sample_tab, self.fine.buckets_packed,
+            self.fine.bucket_lengths, self.fine.sample_tab,
+            codes, quals, lengths)

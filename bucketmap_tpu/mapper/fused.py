@@ -67,14 +67,17 @@ class FusedMapper:
         cfg = self.cfg
         B = codes.shape[0]
         C = cfg.max_candidate_buckets
-        cand, counts, _ = self.coarse._query_impl(codes, quals, lengths)
-        samp_hash, samp_idx = self.fine._prepare_impl(codes, quals, lengths)
+        cand, counts, _ = self.coarse._query_impl(
+            *self.coarse._index_args(), codes, quals, lengths)
+        samp_hash, samp_idx = self.fine._prepare_impl(
+            self.fine.sample_tab, codes, quals, lengths)
 
         # expand to voting lanes: (B, 2, C) -> (B*2*C,)
         flat_bucket = jnp.clip(cand.reshape(-1), 0, None).astype(jnp.int32)
         lane_read = jnp.repeat(jnp.arange(B, dtype=jnp.int32), 2 * C)
         lane_rc = jnp.tile(jnp.repeat(jnp.arange(2, dtype=jnp.int32), C), B).astype(bool)
         off, votes, acc = self.fine._vote_impl(
+            self.fine.buckets_packed, self.fine.bucket_lengths,
             flat_bucket, lane_rc,
             samp_hash[lane_read], samp_idx[lane_read], lengths[lane_read])
         valid = cand.reshape(-1) >= 0

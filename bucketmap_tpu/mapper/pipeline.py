@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import time
 
+import jax
 import numpy as np
 
 from bucketmap_tpu.config import MapperConfig
@@ -78,113 +79,159 @@ class MapStats:
 
 class BucketMapPipeline:
     def __init__(self, index: BucketIndex, align: bool = False,
-                 batch_size: int = 512, pair_batch: int = 256):
+                 batch_size: int = 512, pair_batch: int = 256,
+                 pairs_per_read: int = 4, mesh=None):
         self.index = index
         self.cfg = index.config
         self.align = align
         self.batch_size = batch_size
-        self.coarse = CoarseMapper(index)
-        self.fine = FineLocator(index, pair_batch=pair_batch)
+        from bucketmap_tpu.mapper.device_pipeline import DeviceMapper
+        self.device = DeviceMapper(index, batch_size=batch_size,
+                                   pairs_per_read=pairs_per_read,
+                                   vote_chunk=min(pair_batch, batch_size),
+                                   mesh=mesh)
+        self.coarse = self.device.coarse
+        self.fine = self.device.fine
+        self.fine.pair_batch = pair_batch
         if align:
             from bucketmap_tpu.ops.align import BandedAligner
             self.aligner = BandedAligner(index, pair_batch=pair_batch)
         self._bucket_sam_offset = index.ref_offset_of_bucket()
 
     # ------------------------------------------------------------------
-    def _segments_of_batch(self, batch: ReadBatch, start: int, end: int):
-        """Build fixed-shape segment arrays for reads [start, end).
-
-        Returns codes/quals (S, read_len), seg_len (S,), seg_read (S,),
-        seg_off (S,).
-        """
+    def _all_segments(self, batch: ReadBatch):
+        """Fixed-shape segment arrays for ALL reads: codes/quals
+        (S, read_len), seg_len, seg_read, seg_off. Short reads (<=
+        2*read_len) are a vectorized copy; long reads expand to
+        num_segment_samples windows (q_gram_mapper.h:510-516)."""
         cfg = self.cfg
         rl = cfg.read_len
-        rows, offs = [], []
-        for r in range(start, end):
-            L = int(batch.lengths[r])
-            if L > 2 * rl:
-                ub = L - rl - 1
-                starts = sample_deterministic(cfg.num_segment_samples, ub)
-                for o in starts:
-                    rows.append(r)
-                    offs.append(int(o))
-            else:
-                rows.append(r)
-                offs.append(0)
-        S = len(rows)
-        codes = np.zeros((S, rl), dtype=np.uint8)
-        quals = np.zeros((S, rl), dtype=np.uint8)
-        seg_len = np.zeros(S, dtype=np.int32)
-        for i, (r, o) in enumerate(zip(rows, offs)):
-            L = int(batch.lengths[r])
-            e = min(o + rl, L)
-            codes[i, : e - o] = batch.codes[r, o:e]
-            quals[i, : e - o] = batch.quals[r, o:e]
-            seg_len[i] = e - o
-        return codes, quals, seg_len, np.asarray(rows, np.int32), np.asarray(offs, np.int32)
+        lengths = batch.lengths
+        n = batch.num_reads
+        long_mask = lengths > 2 * rl
+        short_idx = np.nonzero(~long_mask)[0]
+
+        rows = [short_idx]
+        offs = [np.zeros(len(short_idx), np.int64)]
+        for r in np.nonzero(long_mask)[0]:
+            starts = sample_deterministic(cfg.num_segment_samples,
+                                          int(lengths[r]) - rl - 1)
+            rows.append(np.full(len(starts), r, np.int64))
+            offs.append(starts.astype(np.int64))
+        seg_read = np.concatenate(rows)
+        seg_off = np.concatenate(offs)
+        S = len(seg_read)
+
+        seg_len = np.minimum(lengths[seg_read] - seg_off, rl).astype(np.int32)
+        col = np.arange(rl)
+        src = seg_off[:, None] + col[None, :]
+        mask = col[None, :] < seg_len[:, None]
+        src = np.where(mask, src, 0)
+        codes = np.where(mask, batch.codes[seg_read[:, None], src], 0).astype(np.uint8)
+        quals = np.where(mask, batch.quals[seg_read[:, None], src], 0).astype(np.uint8)
+        return (codes, quals, seg_len, seg_read.astype(np.int32),
+                seg_off.astype(np.int32))
 
     # ------------------------------------------------------------------
     def locate_batch(self, batch: ReadBatch, stats: MapStats | None = None):
-        """Map every read; returns per-read list[Location] (pre-filter)."""
+        """Map every read; returns per-read list[Location] (pre-filter).
+
+        All device batches are dispatched asynchronously up front (one
+        fused program per batch), then results are collected — transfer
+        and compute of consecutive batches overlap, hiding the remote
+        dispatch latency.
+        """
         cfg = self.cfg
         stats = stats if stats is not None else MapStats()
         n = batch.num_reads
         per_read: list[list[Location]] = [[] for _ in range(n)]
 
-        for s in range(0, n, self.batch_size):
-            e = min(s + self.batch_size, n)
-            codes, quals, seg_len, seg_read, seg_off = self._segments_of_batch(batch, s, e)
-            # pad segment count to the batch size for stable jit shapes
-            S = len(seg_read)
-            pad = (-S) % self.batch_size
+        t0 = time.perf_counter()
+        codes, quals, seg_len, seg_read, seg_off = self._all_segments(batch)
+        S = len(seg_read)
+        bs = self.batch_size
+
+        dispatches = []
+        for s in range(0, S, bs):
+            e = min(s + bs, S)
+            pad = bs - (e - s)
+            c, q, sl = codes[s:e], quals[s:e], seg_len[s:e]
             if pad:
-                codes = np.pad(codes, ((0, pad), (0, 0)))
-                quals = np.pad(quals, ((0, pad), (0, 0)))
-                seg_len = np.pad(seg_len, (0, pad))
+                c = np.pad(c, ((0, pad), (0, 0)))
+                q = np.pad(q, ((0, pad), (0, 0)))
+                sl = np.pad(sl, (0, pad))
+            dispatches.append((s, e, self.device.step(c, q, sl)))
+        stats.coarse_seconds += time.perf_counter() - t0
 
-            t0 = time.perf_counter()
-            cand, counts, _ = self.coarse.query_batch(codes, quals, seg_len)
-            samp_hash, samp_idx = self.fine.prepare(codes, quals, seg_len)
-            stats.coarse_seconds += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        reads_with_cand: set[int] = set()
+        for s, e, out in dispatches:
+            host = jax.device_get(out)
+            total_valid = int(host["total_valid"])
+            stats.candidate_pairs += total_valid
+            counts = host["counts"][: e - s]
+            for srow_local in np.nonzero(counts.sum(axis=1) > 0)[0]:
+                reads_with_cand.add(int(seg_read[s + srow_local]))
 
-            # pair list (host): strand-0 = original, strand-1 = revcomp
-            t0 = time.perf_counter()
-            rows, strands, buckets = np.nonzero(cand[:S] >= 0)
-            pb = cand[:S][rows, strands, buckets]
-            is_rc = strands.astype(bool)
-            if len(rows):
-                off, votes, acc = self.fine.vote(
-                    pb.astype(np.int32), is_rc,
-                    samp_hash[rows], samp_idx[rows], seg_len[rows])
-            else:
-                off = votes = np.zeros(0, np.int32)
-                acc = np.zeros(0, bool)
-            stats.fine_seconds += time.perf_counter() - t0
-            stats.candidate_pairs += len(rows)
+            if total_valid > self.device.pair_budget:
+                # pair-budget overflow: redo this batch through the
+                # unfused path (rare; heavily repetitive genomes)
+                self._locate_unfused(batch, per_read, seg_read, seg_off,
+                                     seg_len, codes, quals, s, e)
+                continue
 
-            had = np.zeros(S, dtype=bool)
-            had[rows] = True
-            # count reads with >=1 candidate (any of their segments)
-            seen_reads = set(seg_read[np.unique(rows)].tolist())
-            stats.reads_with_candidates += len(seen_reads)
-
-            for i in np.nonzero(acc)[0]:
-                srow = rows[i]
+            acc_idx = np.nonzero(host["accept"])[0]
+            for i in acc_idx:
+                srow = s + int(host["lane_read"][i])
+                if srow >= e:
+                    continue  # padded segment rows
                 r = int(seg_read[srow])
                 so = int(seg_off[srow])
                 sl = int(seg_len[srow])
-                x = int(off[i])
-                if is_rc[i]:
+                x = int(host["offset"][i])
+                if host["lane_rc"][i]:
                     read_off = x - (int(batch.lengths[r]) - so - sl)
                 else:
                     read_off = x - so
-                per_read[r].append(Location(int(pb[i]), read_off, so,
-                                            int(votes[i]), not bool(is_rc[i])))
+                per_read[r].append(Location(int(host["lane_bucket"][i]), read_off,
+                                            so, int(host["votes"][i]),
+                                            not bool(host["lane_rc"][i])))
+        stats.fine_seconds += time.perf_counter() - t0
+        stats.reads_with_candidates += len(reads_with_cand)
         stats.num_reads += n
         # reference ordering: bucket ascending; same bucket: orig before rc
         for locs in per_read:
             locs.sort(key=lambda l: (l.bucket, not l.is_orig))
         return per_read, stats
+
+    # ------------------------------------------------------------------
+    def _locate_unfused(self, batch, per_read, seg_read, seg_off, seg_len,
+                        codes, quals, s, e):
+        """Fallback when a batch exceeds the on-device pair budget."""
+        cand, counts, _ = self.coarse.query_batch(codes[s:e], quals[s:e],
+                                                  seg_len[s:e])
+        samp_hash, samp_idx = self.fine.prepare(codes[s:e], quals[s:e],
+                                                seg_len[s:e])
+        rows, strands, slots = np.nonzero(cand >= 0)
+        pb = cand[rows, strands, slots]
+        is_rc = strands.astype(bool)
+        if not len(rows):
+            return
+        off, votes, acc = self.fine.vote(pb.astype(np.int32), is_rc,
+                                         samp_hash[rows], samp_idx[rows],
+                                         seg_len[s:e][rows])
+        for i in np.nonzero(acc)[0]:
+            srow = s + int(rows[i])
+            r = int(seg_read[srow])
+            so = int(seg_off[srow])
+            sl = int(seg_len[srow])
+            x = int(off[i])
+            if is_rc[i]:
+                read_off = x - (int(batch.lengths[r]) - so - sl)
+            else:
+                read_off = x - so
+            per_read[r].append(Location(int(pb[i]), read_off, so,
+                                        int(votes[i]), not bool(is_rc[i])))
 
     # ------------------------------------------------------------------
     def map_fastq(self, fastq_path, sam_path, quality_threshold: int | None = None):
@@ -226,19 +273,21 @@ class BucketMapPipeline:
 
         from bucketmap_tpu.ops.align import ops_to_cigar
 
+        # collect record fields, then emit (native batch formatter when
+        # available, python writer otherwise)
+        rec_read, rec_flag, rec_bucket, rec_pos0, rec_mapq, rec_cigar = \
+            [], [], [], [], [], []
         for r in range(batch.num_reads):
             locs = per_read[r]
-            seq = batch.seq_ascii[r, : batch.lengths[r]].tobytes().decode()
-            qual = batch.qual_ascii[r, : batch.lengths[r]].tobytes().decode()
             if not self.align:
                 locs = filter_best_locations(locs, int(batch.lengths[r]), cfg.indel_rate)
                 for loc in locs:
-                    mapq = min(60, 6 * loc.votes)
-                    flag = 0 if loc.is_orig else 16
-                    pos0 = int(bucket_sam_off[loc.bucket]) + loc.offset
-                    writer.write(batch.ids[r], flag, bucket_names[loc.bucket],
-                                 pos0, mapq, seq, qual)
-                    stats.mapped_locations += 1
+                    rec_read.append(r)
+                    rec_flag.append(0 if loc.is_orig else 16)
+                    rec_bucket.append(loc.bucket)
+                    rec_pos0.append(int(bucket_sam_off[loc.bucket]) + loc.offset)
+                    rec_mapq.append(min(60, 6 * loc.votes))
+                    rec_cigar.append(b"")
             else:
                 for loc in locs:
                     score = int(align_results[0][idx])
@@ -252,11 +301,57 @@ class BucketMapPipeline:
                         mapq &= 0xFF
                     elif mapq < qt:
                         continue
-                    flag = 0 if loc.is_orig else 16
-                    pos0 = int(bucket_sam_off[loc.bucket]) + begin + loc.offset
-                    writer.write(batch.ids[r], flag, bucket_names[loc.bucket],
-                                 pos0, mapq, seq, qual, ops_to_cigar(ops_row))
-                    stats.mapped_locations += 1
+                    rec_read.append(r)
+                    rec_flag.append(0 if loc.is_orig else 16)
+                    rec_bucket.append(loc.bucket)
+                    rec_pos0.append(int(bucket_sam_off[loc.bucket]) + begin + loc.offset)
+                    rec_mapq.append(mapq)
+                    rec_cigar.append(ops_to_cigar(ops_row).encode())
+        stats.mapped_locations += len(rec_read)
+
+        self._emit_records(writer, batch, rec_read, rec_flag, rec_bucket,
+                           rec_pos0, rec_mapq, rec_cigar)
         writer.close()
         stats.output_seconds = time.perf_counter() - t0
         return stats
+
+    # ------------------------------------------------------------------
+    def _emit_records(self, writer, batch, rec_read, rec_flag, rec_bucket,
+                      rec_pos0, rec_mapq, rec_cigar):
+        from bucketmap_tpu.io import native
+
+        bucket_names = self.index.bucket_names
+        if native.available() and rec_read:
+            ids_buf = "".join(batch.ids).encode()
+            id_offsets = np.zeros(len(batch.ids) + 1, np.int64)
+            np.cumsum([len(i.encode()) for i in batch.ids], out=id_offsets[1:])
+            # rname per bucket -> its reference's (truncated) name
+            ref_short = [n.split(" ")[0].encode() for n in self.index.ref_names]
+            rnames_buf = b"".join(ref_short)
+            rname_offsets = np.zeros(len(ref_short) + 1, np.int64)
+            np.cumsum([len(x) for x in ref_short], out=rname_offsets[1:])
+            rid = self.index.bucket_ref[np.asarray(rec_bucket, np.int64)]
+            cigar_buf = b"".join(rec_cigar)
+            cigar_offsets = np.zeros(len(rec_cigar) + 1, np.int64)
+            np.cumsum([len(c) for c in rec_cigar], out=cigar_offsets[1:])
+            rr = np.asarray(rec_read, np.int32)
+            out = native.format_sam_records(
+                rr, id_offsets, np.frombuffer(ids_buf, np.uint8),
+                np.asarray(rec_flag, np.int32), rid.astype(np.int32),
+                rname_offsets, np.frombuffer(rnames_buf, np.uint8),
+                np.asarray(rec_pos0, np.int64), np.asarray(rec_mapq, np.int32),
+                cigar_offsets, np.frombuffer(cigar_buf, np.uint8),
+                rr, batch.lengths[rr].astype(np.int32),
+                batch.seq_ascii, batch.qual_ascii)
+            if out is not None:
+                writer._f.flush()
+                writer._f.buffer.write(out) if hasattr(writer._f, "buffer") \
+                    else writer._f.write(out.decode())
+                return
+        for i in range(len(rec_read)):
+            r = rec_read[i]
+            seq = batch.seq_ascii[r, : batch.lengths[r]].tobytes().decode()
+            qual = batch.qual_ascii[r, : batch.lengths[r]].tobytes().decode()
+            writer.write(batch.ids[r], rec_flag[i], bucket_names[rec_bucket[i]],
+                         rec_pos0[i], rec_mapq[i], seq, qual,
+                         rec_cigar[i].decode() or "*")

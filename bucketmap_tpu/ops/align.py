@@ -60,7 +60,7 @@ class BandedAligner:
         self._align = jax.jit(self._align_impl)
 
     # ------------------------------------------------------------------
-    def _extract_windows(self, bucket_ids, offsets, wmax: int):
+    def _extract_windows(self, buckets_packed, bucket_ids, offsets, wmax: int):
         """Gather text windows (P, wmax) of base codes from packed buckets.
 
         Only the needed word range is sliced per pair (not the whole
@@ -68,12 +68,12 @@ class BandedAligner:
         by width.
         """
         words_needed = wmax // 16 + 2
-        packed = self.buckets_packed[bucket_ids]             # (P, Wb)
+        packed = buckets_packed[bucket_ids]                  # (P, Wb)
         word0 = jnp.clip(offsets, 0, None) // 16
 
         def slice_row(row, w0):
             return jax.lax.dynamic_slice(row, (w0,), (words_needed,))
-        wb = self.buckets_packed.shape[1]
+        wb = buckets_packed.shape[1]
         win_words = jax.vmap(slice_row)(packed, jnp.clip(word0, 0, wb - words_needed))
         shifts = jnp.arange(16, dtype=jnp.uint32) * 2
         bases = (win_words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
@@ -85,7 +85,8 @@ class BandedAligner:
         return jax.vmap(shift_row)(flat, start)
 
     # ------------------------------------------------------------------
-    def _align_impl(self, qcodes, qlen, bucket_ids, offsets, is_rc, width):
+    def _align_impl(self, buckets_packed, qcodes, qlen, bucket_ids, offsets,
+                    is_rc, width):
         """qcodes (P, Q) uint8; qlen/offsets/width (P,) int32; is_rc (P,) bool.
 
         Returns score (P,) int32, begin (P,) int32 (text begin position),
@@ -93,7 +94,8 @@ class BandedAligner:
         """
         P, Q = qcodes.shape
         wmax = Q + BAND  # static upper bound on window length
-        text = self._extract_windows(bucket_ids, offsets, wmax).astype(jnp.int32)
+        text = self._extract_windows(buckets_packed, bucket_ids, offsets,
+                                     wmax).astype(jnp.int32)
         jcol = jnp.arange(wmax, dtype=jnp.int32)
         in_win = jcol[None, :] < width[:, None]
         # reverse-complement the *window* for reverse-strand pairs
@@ -179,6 +181,7 @@ class BandedAligner:
                 a = np.asarray(a[s:e])
                 return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
             sc, bg, ops = self._align(
+                self.buckets_packed,
                 jnp.asarray(_p(qcodes)), jnp.asarray(_p(qlen, 1), dtype=jnp.int32),
                 jnp.asarray(_p(bucket_ids)), jnp.asarray(_p(offsets)),
                 jnp.asarray(_p(is_rc)), jnp.asarray(_p(width, 1)))

@@ -65,10 +65,17 @@ class CoarseMapper:
         self.dist_threshold = int(cfg.distinguishability * self.n_buckets)
         self.sample_tab = jnp.asarray(
             sample_table(cfg.mapper_samples, cfg.read_len))
+        # index arrays are passed as jit ARGUMENTS (not closure captures):
+        # captured arrays become HLO constants, which recompile on every
+        # index change and blow up remote-compile payloads.
         self._query = jax.jit(self._query_impl)
 
+    def _index_args(self):
+        return (self.qgram_words, self.kmer_to_row, self.zeros, self.sample_tab)
+
     # -------------------------------------------------------------------
-    def _query_impl(self, codes: jax.Array, quals: jax.Array, lengths: jax.Array):
+    def _query_impl(self, qgram_words, kmer_to_row, zeros, sample_tab,
+                    codes: jax.Array, quals: jax.Array, lengths: jax.Array):
         """codes/quals: (B, L) uint8; lengths: (B,) int32.
 
         Returns (candidates (B, 2, C) int32 -1-padded ascending,
@@ -81,7 +88,7 @@ class CoarseMapper:
         B, L = codes.shape
         K = L - k + 1  # k-mer positions (padded tail masked below)
         n = self.n_buckets
-        w = self.qgram_words.shape[1]
+        w = qgram_words.shape[1]
         n_pad = w * 32
         qbits = jnp.uint32(4**q - 1)
 
@@ -94,7 +101,7 @@ class CoarseMapper:
         disting = jnp.zeros((B, K), dtype=bool)
         for i in range(k - q + 1):
             gram = (kmers >> jnp.uint32(2 * i)) & qbits
-            z = self.zeros[self.kmer_to_row[gram]]
+            z = zeros[kmer_to_row[gram]]
             disting = disting | (z >= self.dist_threshold)
 
         good = valid & disting & (qsums >= cfg.mapper_min_kmer_quality)
@@ -104,25 +111,24 @@ class CoarseMapper:
         # stable extraction of good positions in increasing order
         sort_key = jnp.where(good, pos[None, :], K + pos[None, :])
         order = jnp.argsort(sort_key, axis=1)                       # (B, K)
-        ub = jnp.clip(num_good - 1, 0, self.sample_tab.shape[0] - 1)
-        sel = self.sample_tab[ub]                                   # (B, s)
+        ub = jnp.clip(num_good - 1, 0, sample_tab.shape[0] - 1)
+        sel = sample_tab[ub]                                   # (B, s)
         samp_pos = jnp.take_along_axis(order, sel, axis=1)          # (B, s)
         samp_hash = jnp.take_along_axis(kmers, samp_pos, axis=1)    # (B, s)
 
-        both = jnp.stack([samp_hash, revcomp_hash(samp_hash, k, xp=jnp)], axis=2)
-        # scan over samples: AND the q-gram occupancy rows, unpack, count
-        def step(hits, h):                                          # h: (B, 2)
-            presence = jnp.full((B, 2, w), 0xFFFFFFFF, dtype=jnp.uint32)
-            for i in range(k - q + 1):
-                gram = (h >> jnp.uint32(2 * i)) & qbits
-                rows = self.qgram_words[self.kmer_to_row[gram]]     # (B, 2, w)
-                presence = presence & rows
-            shifts = jnp.arange(32, dtype=jnp.uint32)
-            bits = (presence[..., None] >> shifts) & jnp.uint32(1)  # (B,2,w,32)
-            return hits + bits.reshape(B, 2, n_pad).astype(jnp.int8), None
-
-        hits0 = jnp.zeros((B, 2, n_pad), dtype=jnp.int8)
-        hits, _ = jax.lax.scan(step, hits0, both.transpose(1, 0, 2))
+        both = jnp.stack([samp_hash, revcomp_hash(samp_hash, k, xp=jnp)], axis=1)
+        # AND the q-gram occupancy rows per sample, then count bits per bucket.
+        # No scan carry: the (B,2,s,w) presence tensor is materialized once
+        # and the bit-unpack + sum over samples fuses into its consumer.
+        presence = jnp.full((B, 2, s, w), 0xFFFFFFFF, dtype=jnp.uint32)
+        for i in range(k - q + 1):
+            gram = (both >> jnp.uint32(2 * i)) & qbits               # (B,2,s)
+            rows = qgram_words[kmer_to_row[gram]]                    # (B,2,s,w)
+            presence = presence & rows
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = (presence[..., None] >> shifts) & jnp.uint32(1)       # (B,2,s,w,32)
+        hits = bits.astype(jnp.int8).sum(axis=2, dtype=jnp.int8)     # (B,2,w,32)
+        hits = hits.reshape(B, 2, n_pad)
 
         col = jnp.arange(n_pad, dtype=jnp.int32)
         in_range = col[None, None, :] < n
@@ -145,6 +151,6 @@ class CoarseMapper:
     def query_batch(self, codes: np.ndarray, quals: np.ndarray,
                     lengths: np.ndarray):
         cand, counts, num_good = self._query(
-            jnp.asarray(codes), jnp.asarray(quals),
+            *self._index_args(), jnp.asarray(codes), jnp.asarray(quals),
             jnp.asarray(lengths, dtype=jnp.int32))
         return np.asarray(cand), np.asarray(counts), np.asarray(num_good)

@@ -53,11 +53,13 @@ class FineLocator:
         self.buckets_packed = jnp.asarray(index.buckets_packed)
         self.bucket_lengths = jnp.asarray(index.bucket_lengths)
         self.sample_tab = jnp.asarray(sample_table(cfg.locator_samples, cfg.read_len))
+        # index arrays are jit arguments, not closure captures (capture
+        # would embed them as HLO constants; see ops/coarse.py)
         self._prepare = jax.jit(self._prepare_impl)
         self._vote = jax.jit(self._vote_impl)
 
     # ------------------------------------------------------------------
-    def _prepare_impl(self, codes, quals, lengths):
+    def _prepare_impl(self, sample_tab, codes, quals, lengths):
         """Sample locator k-mers per segment (_prepare_read_query,
         bucket_locator.h:292-347): quality gate only (no
         distinguishability); if no k-mer passes, use all of them.
@@ -82,30 +84,41 @@ class FineLocator:
 
         sort_key = jnp.where(good, pos[None, :], K + pos[None, :])
         order = jnp.argsort(sort_key, axis=1)
-        ub = jnp.clip(num_good - 1, 0, self.sample_tab.shape[0] - 1)
-        sel = self.sample_tab[ub]                                 # (S, p)
+        ub = jnp.clip(num_good - 1, 0, sample_tab.shape[0] - 1)
+        sel = sample_tab[ub]                                      # (S, p)
         samp_idx = jnp.take_along_axis(order, sel, axis=1).astype(jnp.int32)
         samp_hash = jnp.take_along_axis(kmers, samp_idx, axis=1)
         return samp_hash, samp_idx
 
     # ------------------------------------------------------------------
-    def _vote_impl(self, bucket_ids, is_rc, samp_hash, samp_idx, seg_len):
+    # occurrences per sampled k-mer considered (a 12-mer matches a 65 kb
+    # bucket ~1.02 times on average; > MAX_OCC only in tandem repeats)
+    MAX_OCC = 8
+
+    def _vote_impl(self, buckets_packed, bucket_lengths,
+                   bucket_ids, is_rc, samp_hash, samp_idx, seg_len):
         """bucket_ids (P,) int32; is_rc (P,) bool; samp_hash (P, p) uint32;
         samp_idx (P, p) int32; seg_len (P,) int32.
         Returns (offset (P,) int32 segment start in bucket, votes (P,) int32,
         accept (P,) bool).
+
+        Sparse formulation: each sampled k-mer occurs O(1) times in the
+        bucket, so instead of a dense vote histogram we extract up to
+        MAX_OCC occurrence positions per sample (top_k over the match
+        mask) and vote among the <= p*MAX_OCC proposed starts directly —
+        no per-pair dense shifts (which lower to catastrophically slow
+        gathers on TPU).
         """
         cfg = self.cfg
         k, p, indel = cfg.query_seed, cfg.locator_samples, cfg.allowed_indel
+        O = self.MAX_OCC
         P = bucket_ids.shape[0]
-        wb = self.buckets_packed.shape[1]
+        wb = buckets_packed.shape[1]
         lb = wb * 16
         lpos = lb - k + 1
-        S = cfg.read_len  # max |negative| proposed start
-        lv = S + lpos
 
-        packed = self.buckets_packed[bucket_ids]                  # (P, Wb)
-        blen = self.bucket_lengths[bucket_ids]                    # (P,)
+        packed = buckets_packed[bucket_ids]                       # (P, Wb)
+        blen = bucket_lengths[bucket_ids]                         # (P,)
         codes = unpack_2bit(packed, lb, xp=jnp)                   # (P, Lb)
         bk = kmer_hashes(codes, k, xp=jnp)                        # (P, Lpos)
         bpos = jnp.arange(lpos, dtype=jnp.int32)
@@ -118,42 +131,45 @@ class FineLocator:
         # reverse-complement pairs iterate samples last-to-first
         # (bucket_locator.h:233-236) — irrelevant here: voting is order-free.
 
-        def one_sample(j):
-            match = (bk == tgt_hash[:, j][:, None]) & bvalid      # (P, Lpos)
-            padded = jnp.pad(match, ((0, 0), (S, S)))
-            # proposal[xi] (xi = x + S) = match[x + t] = padded[xi + t]
-            def slice_row(row, t):
-                return jax.lax.dynamic_slice(row, (t,), (lv,))
-            prop = jax.vmap(slice_row)(padded, jnp.clip(tgt_idx[:, j], 0, S))
-            return prop
-
-        direct = jnp.zeros((P, lv), dtype=bool)
-        votes = jnp.zeros((P, lv), dtype=jnp.int32)
+        # match positions per sample -> top O earliest positions
+        # (looped over samples to bound the materialized (P, Lpos) score)
+        occ_scores = []
         for j in range(p):
-            prop = one_sample(j)
-            # dilate +-indel: a sample votes for any proposal within the window
-            dil = jax.lax.reduce_window(
-                prop, False, jax.lax.bitwise_or,
-                window_dimensions=(1, 2 * indel + 1),
-                window_strides=(1, 1), padding="SAME")
-            direct = direct | prop
-            votes = votes + dil.astype(jnp.int32)
+            match = (bk == tgt_hash[:, j][:, None]) & bvalid      # (P, Lpos)
+            score = jnp.where(match, lpos - bpos[None, :], 0)     # earliest = max
+            top, _ = jax.lax.top_k(score, O)                      # (P, O)
+            occ_scores.append(top)
+        occ_score = jnp.stack(occ_scores, axis=1)                 # (P, p, O)
+        occ_valid = occ_score > 0
+        occ_pos = jnp.where(occ_valid, lpos - occ_score, 0)
+        # proposed segment starts x = occurrence - sample index in segment
+        prop = occ_pos - tgt_idx[:, :, None]                      # (P, p, O)
 
-        xi = jnp.arange(lv, dtype=jnp.int32)
-        # lexicographic: max votes, then smallest x; only direct proposals count
-        score = jnp.where(direct, votes * (lv + 1) + (lv - xi)[None, :], -1)
-        best = jnp.argmax(score, axis=1)
+        # votes among candidate starts: candidate c gets one vote from each
+        # sample j with some occurrence proposing within +-indel of c
+        cand = prop.reshape(P, p * O)                             # (P, p*O)
+        cand_valid = occ_valid.reshape(P, p * O)
+        close = (jnp.abs(cand[:, :, None, None] - prop[:, None, :, :]) <= indel) \
+            & occ_valid[:, None, :, :]                            # (P,pO,p,O)
+        votes = close.any(axis=3).sum(axis=2).astype(jnp.int32)   # (P, pO)
+
+        # winner: max votes, then smallest start (bucket_locator.h:281-283)
+        xoff = cand + cfg.read_len  # make non-negative for the key
+        key = jnp.where(cand_valid,
+                        votes * (1 << 18) + ((1 << 18) - 1 - xoff), -1)
+        best = jnp.argmax(key, axis=1)
         best_votes = jnp.take_along_axis(votes, best[:, None], axis=1)[:, 0]
-        offset = best - S
-        any_direct = direct.any(axis=1)
-        accept = (any_direct
+        offset = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+        any_cand = cand_valid.any(axis=1)
+        accept = (any_cand
                   & (best_votes >= cfg.min_vote)
                   & (offset >= 1))
         return offset.astype(jnp.int32), best_votes, accept
 
     # ------------------------------------------------------------------
     def prepare(self, codes: np.ndarray, quals: np.ndarray, lengths: np.ndarray):
-        h, i = self._prepare(jnp.asarray(codes), jnp.asarray(quals),
+        h, i = self._prepare(self.sample_tab, jnp.asarray(codes),
+                             jnp.asarray(quals),
                              jnp.asarray(lengths, dtype=jnp.int32))
         return np.asarray(h), np.asarray(i)
 
@@ -171,6 +187,7 @@ class FineLocator:
                 a = np.asarray(a[s:e])
                 return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
             off, v, acc = self._vote(
+                self.buckets_packed, self.bucket_lengths,
                 jnp.asarray(_pad(bucket_ids)), jnp.asarray(_pad(is_rc)),
                 jnp.asarray(_pad(samp_hash)), jnp.asarray(_pad(samp_idx)),
                 jnp.asarray(_pad(seg_len, fill=1)))
