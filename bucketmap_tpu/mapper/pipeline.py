@@ -109,8 +109,25 @@ class BucketMapPipeline:
         lengths = batch.lengths
         n = batch.num_reads
         long_mask = lengths > 2 * rl
-        short_idx = np.nonzero(~long_mask)[0]
 
+        if not long_mask.any():
+            # fast path (typical short-read workloads): segment = row prefix
+            seg_read = np.arange(n, dtype=np.int32)
+            seg_off = np.zeros(n, dtype=np.int32)
+            seg_len = np.minimum(lengths, rl).astype(np.int32)
+            if batch.codes.shape[1] == rl:
+                codes, quals = batch.codes, batch.quals
+            else:
+                width = min(batch.codes.shape[1], rl)
+                codes = np.zeros((n, rl), np.uint8)
+                quals = np.zeros((n, rl), np.uint8)
+                codes[:, :width] = batch.codes[:, :width]
+                quals[:, :width] = batch.quals[:, :width]
+            # zero any tail beyond rl in rows longer than rl (reads in
+            # (rl, 2rl] are queried on their first rl bases only)
+            return codes, quals, seg_len, seg_read, seg_off
+
+        short_idx = np.nonzero(~long_mask)[0]
         rows = [short_idx]
         offs = [np.zeros(len(short_idx), np.int64)]
         for r in np.nonzero(long_mask)[0]:
@@ -120,7 +137,6 @@ class BucketMapPipeline:
             offs.append(starts.astype(np.int64))
         seg_read = np.concatenate(rows)
         seg_off = np.concatenate(offs)
-        S = len(seg_read)
 
         seg_len = np.minimum(lengths[seg_read] - seg_off, rl).astype(np.int32)
         col = np.arange(rl)
@@ -181,21 +197,19 @@ class BucketMapPipeline:
                 continue
 
             acc_idx = np.nonzero(host["accept"])[0]
-            for i in acc_idx:
-                srow = s + int(host["lane_read"][i])
-                if srow >= e:
-                    continue  # padded segment rows
-                r = int(seg_read[srow])
-                so = int(seg_off[srow])
-                sl = int(seg_len[srow])
-                x = int(host["offset"][i])
-                if host["lane_rc"][i]:
-                    read_off = x - (int(batch.lengths[r]) - so - sl)
-                else:
-                    read_off = x - so
-                per_read[r].append(Location(int(host["lane_bucket"][i]), read_off,
-                                            so, int(host["votes"][i]),
-                                            not bool(host["lane_rc"][i])))
+            srow = s + host["lane_read"][acc_idx]
+            keep = srow < e  # drop padded segment rows
+            acc_idx, srow = acc_idx[keep], srow[keep]
+            r = seg_read[srow]
+            so = seg_off[srow]
+            sl = seg_len[srow]
+            x = host["offset"][acc_idx]
+            rc = host["lane_rc"][acc_idx]
+            read_off = np.where(rc, x - (batch.lengths[r] - so - sl), x - so)
+            for tup in zip(r.tolist(), host["lane_bucket"][acc_idx].tolist(),
+                           read_off.tolist(), so.tolist(),
+                           host["votes"][acc_idx].tolist(), (~rc).tolist()):
+                per_read[tup[0]].append(Location(*tup[1:]))
         stats.fine_seconds += time.perf_counter() - t0
         stats.reads_with_candidates += len(reads_with_cand)
         stats.num_reads += n

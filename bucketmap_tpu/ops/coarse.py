@@ -117,17 +117,29 @@ class CoarseMapper:
         samp_hash = jnp.take_along_axis(kmers, samp_pos, axis=1)    # (B, s)
 
         both = jnp.stack([samp_hash, revcomp_hash(samp_hash, k, xp=jnp)], axis=1)
-        # AND the q-gram occupancy rows per sample, then count bits per bucket.
-        # No scan carry: the (B,2,s,w) presence tensor is materialized once
-        # and the bit-unpack + sum over samples fuses into its consumer.
-        presence = jnp.full((B, 2, s, w), 0xFFFFFFFF, dtype=jnp.uint32)
-        for i in range(k - q + 1):
-            gram = (both >> jnp.uint32(2 * i)) & qbits               # (B,2,s)
-            rows = qgram_words[kmer_to_row[gram]]                    # (B,2,s,w)
-            presence = presence & rows
+        # AND the q-gram occupancy rows per sample, then count hits per
+        # bucket with BIT-SLICED counters: per-bucket counts live as
+        # ceil(log2(s+1)) uint32 bit-planes, added with a word-parallel
+        # carry chain — the per-sample presence never expands to bytes
+        # (32x less traffic than unpacking every sample's bits).
+        n_planes = s.bit_length()  # counters hold up to 2^n_planes - 1 >= s
+        planes = [jnp.zeros((B, 2, w), dtype=jnp.uint32) for _ in range(n_planes)]
+        for s_i in range(s):
+            h = both[:, :, s_i]                                      # (B, 2)
+            presence = jnp.full((B, 2, w), 0xFFFFFFFF, dtype=jnp.uint32)
+            for i in range(k - q + 1):
+                gram = (h >> jnp.uint32(2 * i)) & qbits
+                presence = presence & qgram_words[kmer_to_row[gram]]
+            carry = presence
+            for j in range(n_planes):
+                t = planes[j] & carry
+                planes[j] = planes[j] ^ carry
+                carry = t
         shifts = jnp.arange(32, dtype=jnp.uint32)
-        bits = (presence[..., None] >> shifts) & jnp.uint32(1)       # (B,2,s,w,32)
-        hits = bits.astype(jnp.int8).sum(axis=2, dtype=jnp.int8)     # (B,2,w,32)
+        hits = jnp.zeros((B, 2, w, 32), dtype=jnp.int8)
+        for j in range(n_planes):
+            bit = ((planes[j][..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int8)
+            hits = hits + (bit << j)
         hits = hits.reshape(B, 2, n_pad)
 
         col = jnp.arange(n_pad, dtype=jnp.int32)
