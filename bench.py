@@ -55,6 +55,7 @@ def main():
         log(f"[bench] building index for {GENOME_MBP} Mbp synthetic genome...")
         genome = random_genome(int(GENOME_MBP * 1e6), seed=1, n_refs=4)
         index = builder.build_index(genome, cfg)
+        builder.build_fine_index(index)
         builder.save_index(index, CACHE, f"idx_{GENOME_MBP:g}")
         log(f"[bench] index built in {time.time()-t0:.1f}s "
             f"({index.n_buckets} buckets)")

@@ -63,6 +63,9 @@ def main(argv=None) -> int:
     p_idx.add_argument("--index-dir", default=".")
     p_idx.add_argument("--export-reference-format", action="store_true",
                        help="also write .qgram/.bucket_id/.kmers_index")
+    p_idx.add_argument("--no-fine-index", action="store_true",
+                       help="skip the positional fine index (slower fine "
+                            "stage, smaller artifact)")
     _add_param_flags(p_idx)
 
     p_map = sub.add_parser("map", help="map reads to SAM")
@@ -109,6 +112,8 @@ def main(argv=None) -> int:
         cfg = _config_from(args)
         t0 = time.time()
         index = builder.build_index_from_fasta(args.genome, cfg, verbose=True)
+        if not args.no_fine_index:
+            builder.build_fine_index(index)
         builder.save_index(index, args.index_dir, args.index_indicator)
         if args.export_reference_format:
             builder.export_reference_format(index, args.index_dir, args.index_indicator)

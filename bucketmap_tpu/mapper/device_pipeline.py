@@ -47,9 +47,16 @@ class DeviceMapper:
                 self.coarse.qgram_words, ns(None, bucket_axis))
             self.coarse.kmer_to_row = jax.device_put(self.coarse.kmer_to_row, ns())
             self.coarse.zeros = jax.device_put(self.coarse.zeros, ns())
+            if self.coarse.dist_by_kmer is not None:
+                self.coarse.dist_by_kmer = jax.device_put(self.coarse.dist_by_kmer, ns())
+            else:
+                self.coarse.zeros_ge = jax.device_put(self.coarse.zeros_ge, ns())
             self.coarse.sample_tab = jax.device_put(self.coarse.sample_tab, ns())
             self.fine.buckets_packed = jax.device_put(self.fine.buckets_packed, ns())
             self.fine.bucket_lengths = jax.device_put(self.fine.bucket_lengths, ns())
+            if self.fine.fine_hash is not None:
+                self.fine.fine_hash = jax.device_put(self.fine.fine_hash, ns())
+                self.fine.fine_pos = jax.device_put(self.fine.fine_pos, ns())
             self.fine.sample_tab = jax.device_put(self.fine.sample_tab, ns())
             self._data_sharding = ns(data_axis)
             self._data_sharding2 = ns(data_axis, None)
@@ -58,15 +65,17 @@ class DeviceMapper:
         self._step = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------
-    def _step_impl(self, qgram_words, kmer_to_row, zeros, c_sample_tab,
-                   buckets_packed, bucket_lengths, f_sample_tab,
+    def _step_impl(self, qgram_words, kmer_to_row, dist_tab, c_sample_tab,
+                   vote_tab_a, vote_tab_b, f_sample_tab,
                    codes, quals, lengths):
+        """vote_tab_a/b are (fine_hash, fine_pos) when the positional fine
+        index is present, else (buckets_packed, bucket_lengths)."""
         cfg = self.cfg
         B = codes.shape[0]
         C = cfg.max_candidate_buckets
         P = self.pair_budget
         cand, counts, _ = self.coarse._query_impl(
-            qgram_words, kmer_to_row, zeros, c_sample_tab, codes, quals, lengths)
+            qgram_words, kmer_to_row, dist_tab, c_sample_tab, codes, quals, lengths)
         samp_hash, samp_idx = self.fine._prepare_impl(
             f_sample_tab, codes, quals, lengths)
 
@@ -83,32 +92,38 @@ class DeviceMapper:
         lane_rc = ((sel // C) % 2).astype(bool)
         lane_bucket = jnp.clip(flat[sel], 0, None).astype(jnp.int32)
 
-        # ---- chunked voting (sequential inside one dispatch) -------------
-        # chunks whose lanes are all padding (compaction puts valid lanes
-        # first) skip the vote entirely via cond
-        ch = self.vote_chunk
-        n_chunks = P // ch
+        if self.fine.fine_hash is not None:
+            # positional index: voting is tiny gathers — all lanes at once
+            off, votes, acc = self.fine._vote_sorted_impl(
+                vote_tab_a, vote_tab_b, lane_bucket, lane_rc,
+                samp_hash[lane_read], samp_idx[lane_read], lengths[lane_read])
+        else:
+            # packed-scan voting, chunked sequentially inside the dispatch;
+            # chunks whose lanes are all padding (compaction puts valid
+            # lanes first) skip the vote entirely via cond
+            ch = self.vote_chunk
+            n_chunks = P // ch
 
-        def chunk_fn(args):
-            ci, b, rc, sh, si, sl = args
+            def chunk_fn(args):
+                ci, b, rc, sh, si, sl = args
 
-            def live(_):
-                return self.fine._vote_impl(buckets_packed, bucket_lengths,
-                                            b, rc, sh, si, sl)
+                def live(_):
+                    return self.fine._vote_impl(vote_tab_a, vote_tab_b,
+                                                b, rc, sh, si, sl)
 
-            def dead(_):
-                z = jnp.zeros(b.shape, jnp.int32)
-                return z, z, jnp.zeros(b.shape, bool)
+                def dead(_):
+                    z = jnp.zeros(b.shape, jnp.int32)
+                    return z, z, jnp.zeros(b.shape, bool)
 
-            return jax.lax.cond(ci * ch < total_valid, live, dead, None)
+                return jax.lax.cond(ci * ch < total_valid, live, dead, None)
 
-        xs = (jnp.arange(n_chunks, dtype=jnp.int32),
-              lane_bucket.reshape(n_chunks, ch),
-              lane_rc.reshape(n_chunks, ch),
-              samp_hash[lane_read].reshape(n_chunks, ch, -1),
-              samp_idx[lane_read].reshape(n_chunks, ch, -1),
-              lengths[lane_read].reshape(n_chunks, ch))
-        off, votes, acc = jax.lax.map(chunk_fn, xs)
+            xs = (jnp.arange(n_chunks, dtype=jnp.int32),
+                  lane_bucket.reshape(n_chunks, ch),
+                  lane_rc.reshape(n_chunks, ch),
+                  samp_hash[lane_read].reshape(n_chunks, ch, -1),
+                  samp_idx[lane_read].reshape(n_chunks, ch, -1),
+                  lengths[lane_read].reshape(n_chunks, ch))
+            off, votes, acc = jax.lax.map(chunk_fn, xs)
         acc = acc.reshape(P) & slot_ok
 
         return {
@@ -130,8 +145,10 @@ class DeviceMapper:
             codes = jax.device_put(codes, self._data_sharding2)
             quals = jax.device_put(quals, self._data_sharding2)
             lengths = jax.device_put(lengths, self._data_sharding)
+        if self.fine.fine_hash is not None:
+            vote_tabs = (self.fine.fine_hash, self.fine.fine_pos)
+        else:
+            vote_tabs = (self.fine.buckets_packed, self.fine.bucket_lengths)
         return self._step(
-            self.coarse.qgram_words, self.coarse.kmer_to_row, self.coarse.zeros,
-            self.coarse.sample_tab, self.fine.buckets_packed,
-            self.fine.bucket_lengths, self.fine.sample_tab,
+            *self.coarse._index_args(), *vote_tabs, self.fine.sample_tab,
             codes, quals, lengths)

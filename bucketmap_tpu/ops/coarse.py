@@ -63,6 +63,22 @@ class CoarseMapper:
         self.zeros = jnp.asarray(index.zeros)
         # distinguishability threshold: (unsigned)(d * N) (q_gram_mapper.h:163)
         self.dist_threshold = int(cfg.distinguishability * self.n_buckets)
+        # Precompute is_highly_distinguishable per whole k-mer (one uint8
+        # gather at query time instead of 2 gathers x (k-q+1) shifts).
+        # 4^k entries; for k <= 13 that is <= 64 MB.
+        if 4**cfg.query_seed <= (1 << 26):
+            qb = np.uint32(4**cfg.index_seed - 1)
+            per_gram = index.zeros[np.where(k2r < 0, g, k2r)] >= self.dist_threshold
+            h = np.arange(4**cfg.query_seed, dtype=np.uint32)
+            dist = np.zeros(4**cfg.query_seed, dtype=bool)
+            for i in range(cfg.qgrams_per_kmer):
+                dist |= per_gram[(h >> np.uint32(2 * i)) & qb]
+            self.dist_by_kmer = jnp.asarray(dist.astype(np.uint8))
+        else:
+            self.dist_by_kmer = None
+            self.zeros_ge = jnp.asarray(
+                (index.zeros[np.where(k2r < 0, g, k2r)] >= self.dist_threshold
+                 ).astype(np.uint8))
         self.sample_tab = jnp.asarray(
             sample_table(cfg.mapper_samples, cfg.read_len))
         # index arrays are passed as jit ARGUMENTS (not closure captures):
@@ -71,10 +87,11 @@ class CoarseMapper:
         self._query = jax.jit(self._query_impl)
 
     def _index_args(self):
-        return (self.qgram_words, self.kmer_to_row, self.zeros, self.sample_tab)
+        dist_tab = self.dist_by_kmer if self.dist_by_kmer is not None else self.zeros_ge
+        return (self.qgram_words, self.kmer_to_row, dist_tab, self.sample_tab)
 
     # -------------------------------------------------------------------
-    def _query_impl(self, qgram_words, kmer_to_row, zeros, sample_tab,
+    def _query_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
                     codes: jax.Array, quals: jax.Array, lengths: jax.Array):
         """codes/quals: (B, L) uint8; lengths: (B,) int32.
 
@@ -97,12 +114,15 @@ class CoarseMapper:
         pos = jnp.arange(K, dtype=jnp.int32)
         valid = pos[None, :] < (lengths[:, None] - (k - 1))
 
-        # distinguishability: any contained q-gram with zeros >= threshold
-        disting = jnp.zeros((B, K), dtype=bool)
-        for i in range(k - q + 1):
-            gram = (kmers >> jnp.uint32(2 * i)) & qbits
-            z = zeros[kmer_to_row[gram]]
-            disting = disting | (z >= self.dist_threshold)
+        # distinguishability: any contained q-gram with zeros >= threshold,
+        # precomputed per k-mer (or per q-gram for very large k)
+        if self.dist_by_kmer is not None:
+            disting = dist_tab[kmers] > 0
+        else:
+            disting = jnp.zeros((B, K), dtype=bool)
+            for i in range(k - q + 1):
+                gram = (kmers >> jnp.uint32(2 * i)) & qbits
+                disting = disting | (dist_tab[gram] > 0)
 
         good = valid & disting & (qsums >= cfg.mapper_min_kmer_quality)
         num_good = good.sum(axis=1).astype(jnp.int32)

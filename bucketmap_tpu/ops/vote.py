@@ -52,11 +52,18 @@ class FineLocator:
         self.pair_batch = pair_batch
         self.buckets_packed = jnp.asarray(index.buckets_packed)
         self.bucket_lengths = jnp.asarray(index.bucket_lengths)
+        # positional fine index (optional): binary-searchable sorted hashes
+        if index.fine_hash is not None:
+            self.fine_hash = jnp.asarray(index.fine_hash)
+            self.fine_pos = jnp.asarray(index.fine_pos)
+        else:
+            self.fine_hash = self.fine_pos = None
         self.sample_tab = jnp.asarray(sample_table(cfg.locator_samples, cfg.read_len))
         # index arrays are jit arguments, not closure captures (capture
         # would embed them as HLO constants; see ops/coarse.py)
         self._prepare = jax.jit(self._prepare_impl)
         self._vote = jax.jit(self._vote_impl)
+        self._vote_s = jax.jit(self._vote_sorted_impl)
 
     # ------------------------------------------------------------------
     def _prepare_impl(self, sample_tab, codes, quals, lengths):
@@ -167,6 +174,62 @@ class FineLocator:
         return offset.astype(jnp.int32), best_votes, accept
 
     # ------------------------------------------------------------------
+    def _vote_sorted_impl(self, fine_hash, fine_pos,
+                          bucket_ids, is_rc, samp_hash, samp_idx, seg_len):
+        """Positional-index variant of _vote_impl: occurrences come from a
+        binary search over the bucket's hash-sorted k-mer array instead of
+        scanning the bucket — O(p * (log Lpos + MAX_OCC)) tiny gathers per
+        pair. Identical results (stable sort keeps equal hashes in
+        position order, matching the earliest-position extraction)."""
+        cfg = self.cfg
+        k, p, indel = cfg.query_seed, cfg.locator_samples, cfg.allowed_indel
+        O = self.MAX_OCC
+        P = bucket_ids.shape[0]
+        lpos = fine_hash.shape[1]
+
+        tgt_hash = jnp.where(is_rc[:, None],
+                             revcomp_hash(samp_hash, k, xp=jnp), samp_hash)
+        tgt_idx = jnp.where(is_rc[:, None],
+                            seg_len[:, None] - k - samp_idx, samp_idx)
+
+        # lower-bound binary search per (pair, sample)
+        lo = jnp.zeros((P, p), dtype=jnp.int32)
+        hi = jnp.full((P, p), lpos, dtype=jnp.int32)
+        steps = max(1, (lpos - 1).bit_length())
+        bid = bucket_ids[:, None]
+        for _ in range(steps):
+            mid = (lo + hi) // 2
+            v = fine_hash[bid, mid]                       # (P, p) gather
+            below = v < tgt_hash
+            lo = jnp.where(below, mid + 1, lo)
+            hi = jnp.where(below, hi, mid)
+
+        occ_idx = jnp.clip(lo[:, :, None] + jnp.arange(O, dtype=jnp.int32),
+                           0, lpos - 1)                   # (P, p, O)
+        h_o = fine_hash[bid[:, :, None], occ_idx]
+        occ_valid = h_o == tgt_hash[:, :, None]
+        occ_pos = jnp.where(occ_valid, fine_pos[bid[:, :, None], occ_idx], 0)
+        prop = occ_pos - tgt_idx[:, :, None]
+
+        cand = prop.reshape(P, p * O)
+        cand_valid = occ_valid.reshape(P, p * O)
+        close = (jnp.abs(cand[:, :, None, None] - prop[:, None, :, :]) <= indel) \
+            & occ_valid[:, None, :, :]
+        votes = close.any(axis=3).sum(axis=2).astype(jnp.int32)
+
+        xoff = cand + cfg.read_len
+        key = jnp.where(cand_valid,
+                        votes * (1 << 18) + ((1 << 18) - 1 - xoff), -1)
+        best = jnp.argmax(key, axis=1)
+        best_votes = jnp.take_along_axis(votes, best[:, None], axis=1)[:, 0]
+        offset = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+        any_cand = cand_valid.any(axis=1)
+        accept = (any_cand
+                  & (best_votes >= cfg.min_vote)
+                  & (offset >= 1))
+        return offset.astype(jnp.int32), best_votes, accept
+
+    # ------------------------------------------------------------------
     def prepare(self, codes: np.ndarray, quals: np.ndarray, lengths: np.ndarray):
         h, i = self._prepare(self.sample_tab, jnp.asarray(codes),
                              jnp.asarray(quals),
@@ -186,11 +249,14 @@ class FineLocator:
             def _pad(a, fill=0):
                 a = np.asarray(a[s:e])
                 return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
-            off, v, acc = self._vote(
-                self.buckets_packed, self.bucket_lengths,
-                jnp.asarray(_pad(bucket_ids)), jnp.asarray(_pad(is_rc)),
-                jnp.asarray(_pad(samp_hash)), jnp.asarray(_pad(samp_idx)),
-                jnp.asarray(_pad(seg_len, fill=1)))
+            args = (jnp.asarray(_pad(bucket_ids)), jnp.asarray(_pad(is_rc)),
+                    jnp.asarray(_pad(samp_hash)), jnp.asarray(_pad(samp_idx)),
+                    jnp.asarray(_pad(seg_len, fill=1)))
+            if self.fine_hash is not None:
+                off, v, acc = self._vote_s(self.fine_hash, self.fine_pos, *args)
+            else:
+                off, v, acc = self._vote(
+                    self.buckets_packed, self.bucket_lengths, *args)
             out_off[s:e] = np.asarray(off)[: e - s]
             out_votes[s:e] = np.asarray(v)[: e - s]
             out_acc[s:e] = np.asarray(acc)[: e - s]

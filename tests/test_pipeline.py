@@ -123,3 +123,68 @@ def test_long_read_segmentation(world, tmp_path):
     within = start - bucket * CFG.bucket_len
     # read start in reference coordinates
     assert any(abs(r["pos"] - (start + 1)) <= CFG.allowed_indel for r in recs), recs
+
+
+def test_sorted_vote_matches_scan_vote(world, tmp_path):
+    """The positional-fine-index vote must produce identical results to the
+    packed-scan vote."""
+    import copy
+    from bucketmap_tpu.index.builder import build_fine_index
+    from bucketmap_tpu.ops.vote import FineLocator
+
+    genome, index = world
+    index2 = copy.copy(index)
+    build_fine_index(index2)
+    sim = ShortReadSimulator(CFG, substitution_rate=0.01, seed=77)
+    sim.read(genome)
+    fl_scan = FineLocator(index)
+    fl_sorted = FineLocator(index2)
+    rng = np.random.RandomState(5)
+    n = 64
+    codes = np.zeros((n, CFG.read_len), np.uint8)
+    lens = np.zeros(n, np.int32)
+    gt_bucket = np.zeros(n, np.int32)
+    rcs = np.zeros(n, bool)
+    for i in range(n):
+        c, bucket, start, rc, _ = sim.sample()
+        c = c[: CFG.read_len]
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+        gt_bucket[i] = bucket
+        rcs[i] = rc
+    quals = np.full((n, CFG.read_len), 36, np.uint8)
+    sh, si = fl_scan.prepare(codes, quals, lens)
+    o1, v1, a1 = fl_scan.vote(gt_bucket, rcs, sh, si, lens)
+    o2, v2, a2 = fl_sorted.vote(gt_bucket, rcs, sh, si, lens)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(o1[a1], o2[a2])
+    np.testing.assert_array_equal(v1[a1], v2[a2])
+    assert a1.sum() >= 50  # most reads vote through
+
+
+def test_pipeline_with_fine_index(world, tmp_path):
+    import copy
+    from bucketmap_tpu.index.builder import build_fine_index
+
+    genome, index = world
+    index2 = copy.copy(index)
+    build_fine_index(index2)
+    sim = ShortReadSimulator(CFG, substitution_rate=0.01, seed=78)
+    sim.read(genome)
+    paths = sim.generate(tmp_path, "fidx", 200)
+    batch = read_fastq(paths["fastq"])
+    pipe = BucketMapPipeline(index2, batch_size=128, pair_batch=64)
+    pipe.map_reads(batch, tmp_path / "fidx.sam")
+    gt = [line.split() for line in open(paths["position_gt"])]
+    recs = {}
+    for rec in read_sam(tmp_path / "fidx.sam"):
+        recs.setdefault(rec["qname"], []).append(rec)
+    correct = 0
+    for i, (rid, pos, rc, _cigar) in enumerate(gt):
+        for rec in recs.get(str(i), []):
+            if (rec["rname"] == index.ref_names[int(rid)].split(" ")[0]
+                    and (rec["flag"] & 16 == 16) == bool(int(rc))
+                    and abs(rec["pos"] - int(pos)) <= 10):
+                correct += 1
+                break
+    assert correct >= 180, f"{correct}/200"
