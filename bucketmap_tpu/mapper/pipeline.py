@@ -149,8 +149,11 @@ class BucketMapPipeline:
                 seg_off.astype(np.int32))
 
     # ------------------------------------------------------------------
-    def locate_batch(self, batch: ReadBatch, stats: MapStats | None = None):
-        """Map every read; returns per-read list[Location] (pre-filter).
+    def locate_arrays(self, batch: ReadBatch, stats: MapStats | None = None):
+        """Map every read; returns parallel numpy arrays of locations
+        (read, bucket, read_offset, votes, is_orig, seg_offset) sorted by
+        (read asc, bucket asc, original-strand first) — the reference's
+        per-read location order.
 
         All device batches are dispatched asynchronously up front (one
         fused program per batch), then results are collected — transfer
@@ -160,7 +163,6 @@ class BucketMapPipeline:
         cfg = self.cfg
         stats = stats if stats is not None else MapStats()
         n = batch.num_reads
-        per_read: list[list[Location]] = [[] for _ in range(n)]
 
         t0 = time.perf_counter()
         codes, quals, seg_len, seg_read, seg_off = self._all_segments(batch)
@@ -180,20 +182,20 @@ class BucketMapPipeline:
         stats.coarse_seconds += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        reads_with_cand: set[int] = set()
+        chunks = []
+        reads_with_cand = np.zeros(n, dtype=bool)
         for s, e, out in dispatches:
             host = jax.device_get(out)
             total_valid = int(host["total_valid"])
             stats.candidate_pairs += total_valid
             counts = host["counts"][: e - s]
-            for srow_local in np.nonzero(counts.sum(axis=1) > 0)[0]:
-                reads_with_cand.add(int(seg_read[s + srow_local]))
+            reads_with_cand[seg_read[s + np.nonzero(counts.sum(axis=1) > 0)[0]]] = True
 
             if total_valid > self.device.pair_budget:
                 # pair-budget overflow: redo this batch through the
                 # unfused path (rare; heavily repetitive genomes)
-                self._locate_unfused(batch, per_read, seg_read, seg_off,
-                                     seg_len, codes, quals, s, e)
+                chunks.append(self._locate_unfused(batch, seg_read, seg_off,
+                                                   seg_len, codes, quals, s, e))
                 continue
 
             acc_idx = np.nonzero(host["accept"])[0]
@@ -206,22 +208,42 @@ class BucketMapPipeline:
             x = host["offset"][acc_idx]
             rc = host["lane_rc"][acc_idx]
             read_off = np.where(rc, x - (batch.lengths[r] - so - sl), x - so)
-            for tup in zip(r.tolist(), host["lane_bucket"][acc_idx].tolist(),
-                           read_off.tolist(), so.tolist(),
-                           host["votes"][acc_idx].tolist(), (~rc).tolist()):
-                per_read[tup[0]].append(Location(*tup[1:]))
+            chunks.append((r, host["lane_bucket"][acc_idx].astype(np.int64),
+                           read_off.astype(np.int64), host["votes"][acc_idx],
+                           ~rc, so))
         stats.fine_seconds += time.perf_counter() - t0
-        stats.reads_with_candidates += len(reads_with_cand)
+        stats.reads_with_candidates += int(reads_with_cand.sum())
         stats.num_reads += n
-        # reference ordering: bucket ascending; same bucket: orig before rc
-        for locs in per_read:
-            locs.sort(key=lambda l: (l.bucket, not l.is_orig))
+
+        if chunks:
+            r = np.concatenate([c[0] for c in chunks]).astype(np.int64)
+            bk = np.concatenate([c[1] for c in chunks])
+            off = np.concatenate([c[2] for c in chunks])
+            votes = np.concatenate([c[3] for c in chunks]).astype(np.int64)
+            orig = np.concatenate([c[4] for c in chunks])
+            so = np.concatenate([c[5] for c in chunks]).astype(np.int64)
+        else:
+            r = bk = off = votes = so = np.zeros(0, np.int64)
+            orig = np.zeros(0, bool)
+        order = np.lexsort((~orig, bk, r))
+        return (r[order], bk[order], off[order], votes[order], orig[order],
+                so[order]), stats
+
+    def locate_batch(self, batch: ReadBatch, stats: MapStats | None = None):
+        """Compatibility wrapper: per-read list[Location] view."""
+        (r, bk, off, votes, orig, so), stats = self.locate_arrays(batch, stats)
+        per_read: list[list[Location]] = [[] for _ in range(batch.num_reads)]
+        for i in range(len(r)):
+            per_read[r[i]].append(Location(int(bk[i]), int(off[i]), int(so[i]),
+                                           int(votes[i]), bool(orig[i])))
         return per_read, stats
 
     # ------------------------------------------------------------------
-    def _locate_unfused(self, batch, per_read, seg_read, seg_off, seg_len,
+    def _locate_unfused(self, batch, seg_read, seg_off, seg_len,
                         codes, quals, s, e):
         """Fallback when a batch exceeds the on-device pair budget."""
+        empty = (np.zeros(0, np.int64),) * 4 + (np.zeros(0, bool),
+                                                np.zeros(0, np.int64))
         cand, counts, _ = self.coarse.query_batch(codes[s:e], quals[s:e],
                                                   seg_len[s:e])
         samp_hash, samp_idx = self.fine.prepare(codes[s:e], quals[s:e],
@@ -230,22 +252,21 @@ class BucketMapPipeline:
         pb = cand[rows, strands, slots]
         is_rc = strands.astype(bool)
         if not len(rows):
-            return
+            return empty
         off, votes, acc = self.fine.vote(pb.astype(np.int32), is_rc,
                                          samp_hash[rows], samp_idx[rows],
                                          seg_len[s:e][rows])
-        for i in np.nonzero(acc)[0]:
-            srow = s + int(rows[i])
-            r = int(seg_read[srow])
-            so = int(seg_off[srow])
-            sl = int(seg_len[srow])
-            x = int(off[i])
-            if is_rc[i]:
-                read_off = x - (int(batch.lengths[r]) - so - sl)
-            else:
-                read_off = x - so
-            per_read[r].append(Location(int(pb[i]), read_off, so,
-                                        int(votes[i]), not bool(is_rc[i])))
+        i = np.nonzero(acc)[0]
+        srow = s + rows[i]
+        r = seg_read[srow]
+        so = seg_off[srow]
+        sl = seg_len[srow]
+        x = off[i]
+        rc = is_rc[i]
+        read_off = np.where(rc, x - (batch.lengths[r] - so - sl), x - so)
+        return (r.astype(np.int64), pb[i].astype(np.int64),
+                read_off.astype(np.int64), votes[i].astype(np.int64),
+                ~rc, so.astype(np.int64))
 
     # ------------------------------------------------------------------
     def map_fastq(self, fastq_path, sam_path, quality_threshold: int | None = None):
@@ -256,71 +277,85 @@ class BucketMapPipeline:
                   quality_threshold: int | None = None) -> MapStats:
         cfg = self.cfg
         stats = MapStats()
-        per_read, stats = self.locate_batch(batch, stats)
+        (lr, lbk, loff, lvotes, lorig, _lso), stats = self.locate_arrays(batch, stats)
 
         t0 = time.perf_counter()
         writer = SamWriter(sam_path, [n for n in self.index.ref_names],
                            self.index.sam_ref_lengths())
-        bucket_names = self.index.bucket_names
         bucket_sam_off = self._bucket_sam_offset
         qt = cfg.quality_threshold if quality_threshold is None else quality_threshold
 
-        align_results = None
-        if self.align:
-            # batch every accepted location through the banded aligner
-            loc_read, loc_bucket, loc_off, loc_rc = [], [], [], []
-            for r in range(batch.num_reads):
-                for loc in per_read[r]:
-                    loc_read.append(r)
-                    loc_bucket.append(loc.bucket)
-                    loc_off.append(loc.offset)
-                    loc_rc.append(not loc.is_orig)
-            if loc_read:
-                loc_read = np.asarray(loc_read, np.int32)
+        if not self.align:
+            # alignment-free: merge/keep-best per read. Reads with a single
+            # location (the overwhelming majority) pass through unchanged;
+            # only multi-location reads run the literal merge.
+            n = batch.num_reads
+            loc_counts = np.bincount(lr, minlength=n) if len(lr) else \
+                np.zeros(n, np.int64)
+            multi_mask = loc_counts[lr] > 1 if len(lr) else np.zeros(0, bool)
+            s_r = lr[~multi_mask]
+            s_bk = lbk[~multi_mask]
+            s_off = loff[~multi_mask]
+            s_votes = lvotes[~multi_mask]
+            s_orig = lorig[~multi_mask]
+
+            m_read, m_bk, m_off, m_votes, m_orig = [], [], [], [], []
+            if multi_mask.any():
+                mr = lr[multi_mask]
+                mbk, moff = lbk[multi_mask], loff[multi_mask]
+                mv, mo = lvotes[multi_mask], lorig[multi_mask]
+                starts = np.nonzero(np.diff(mr, prepend=-1))[0]
+                ends = np.append(starts[1:], len(mr))
+                for a, b in zip(starts, ends):
+                    r = int(mr[a])
+                    locs = [Location(int(mbk[i]), int(moff[i]), 0,
+                                     int(mv[i]), bool(mo[i]))
+                            for i in range(a, b)]
+                    for loc in filter_best_locations(
+                            locs, int(batch.lengths[r]), cfg.indel_rate):
+                        m_read.append(r)
+                        m_bk.append(loc.bucket)
+                        m_off.append(loc.offset)
+                        m_votes.append(loc.votes)
+                        m_orig.append(loc.is_orig)
+
+            rec_read = np.concatenate([s_r, np.asarray(m_read, np.int64)])
+            rec_bucket = np.concatenate([s_bk, np.asarray(m_bk, np.int64)])
+            rec_off = np.concatenate([s_off, np.asarray(m_off, np.int64)])
+            rec_votes = np.concatenate([s_votes, np.asarray(m_votes, np.int64)])
+            rec_orig = np.concatenate([s_orig, np.asarray(m_orig, bool)])
+            order = np.argsort(rec_read, kind="stable")
+            rec_read, rec_bucket, rec_off = rec_read[order], rec_bucket[order], rec_off[order]
+            rec_votes, rec_orig = rec_votes[order], rec_orig[order]
+
+            rec_flag = np.where(rec_orig, 0, 16).astype(np.int32)
+            rec_pos0 = bucket_sam_off[rec_bucket] + rec_off
+            rec_mapq = np.minimum(60, 6 * rec_votes).astype(np.int32)
+            rec_cigar = None
+        else:
+            # align mode: every location goes through the banded aligner
+            from bucketmap_tpu.ops.align import ops_to_cigar
+
+            if len(lr):
+                lri = lr.astype(np.int32)
                 scores, begins, ops = self.aligner.align_batch(
-                    batch.codes[loc_read], batch.lengths[loc_read],
-                    np.asarray(loc_bucket, np.int32),
-                    np.asarray(loc_off, np.int32),
-                    np.asarray(loc_rc, bool))
-                align_results = (scores, begins, ops)
-            idx = 0
-
-        from bucketmap_tpu.ops.align import ops_to_cigar
-
-        # collect record fields, then emit (native batch formatter when
-        # available, python writer otherwise)
-        rec_read, rec_flag, rec_bucket, rec_pos0, rec_mapq, rec_cigar = \
-            [], [], [], [], [], []
-        for r in range(batch.num_reads):
-            locs = per_read[r]
-            if not self.align:
-                locs = filter_best_locations(locs, int(batch.lengths[r]), cfg.indel_rate)
-                for loc in locs:
-                    rec_read.append(r)
-                    rec_flag.append(0 if loc.is_orig else 16)
-                    rec_bucket.append(loc.bucket)
-                    rec_pos0.append(int(bucket_sam_off[loc.bucket]) + loc.offset)
-                    rec_mapq.append(min(60, 6 * loc.votes))
-                    rec_cigar.append(b"")
+                    batch.codes[lri], batch.lengths[lri],
+                    lbk.astype(np.int32), loff.astype(np.int32), ~lorig)
             else:
-                for loc in locs:
-                    score = int(align_results[0][idx])
-                    begin = int(align_results[1][idx])
-                    ops_row = align_results[2][idx]
-                    idx += 1
-                    # size_t wrap: scores below -60 bypass the threshold
-                    # (bucket_locator.h:571); seqan3 then truncates to uint8
-                    mapq = 60 + score
-                    if mapq < 0:
-                        mapq &= 0xFF
-                    elif mapq < qt:
-                        continue
-                    rec_read.append(r)
-                    rec_flag.append(0 if loc.is_orig else 16)
-                    rec_bucket.append(loc.bucket)
-                    rec_pos0.append(int(bucket_sam_off[loc.bucket]) + begin + loc.offset)
-                    rec_mapq.append(mapq)
-                    rec_cigar.append(ops_to_cigar(ops_row).encode())
+                scores = begins = np.zeros(0, np.int32)
+                ops = np.zeros((0, 1), np.uint8)
+            # size_t wrap: scores below -60 bypass the threshold
+            # (bucket_locator.h:571); seqan3 then truncates to uint8
+            mapq = 60 + scores.astype(np.int64)
+            mapq = np.where(mapq < 0, mapq & 0xFF, mapq)
+            keep = np.where(scores < -60, True, mapq >= qt)
+            rec_read = lr[keep]
+            rec_bucket = lbk[keep]
+            rec_flag = np.where(lorig[keep], 0, 16).astype(np.int32)
+            rec_pos0 = bucket_sam_off[rec_bucket] + begins[keep] + loff[keep]
+            rec_mapq = mapq[keep].astype(np.int32)
+            rec_cigar = [ops_to_cigar(ops[i]).encode()
+                         for i in np.nonzero(keep)[0]]
         stats.mapped_locations += len(rec_read)
 
         self._emit_records(writer, batch, rec_read, rec_flag, rec_bucket,
@@ -332,10 +367,11 @@ class BucketMapPipeline:
     # ------------------------------------------------------------------
     def _emit_records(self, writer, batch, rec_read, rec_flag, rec_bucket,
                       rec_pos0, rec_mapq, rec_cigar):
+        """rec_cigar: list of bytes per record, or None = all '*'."""
         from bucketmap_tpu.io import native
 
         bucket_names = self.index.bucket_names
-        if native.available() and rec_read:
+        if native.available() and len(rec_read):
             ids_buf = "".join(batch.ids).encode()
             id_offsets = np.zeros(len(batch.ids) + 1, np.int64)
             np.cumsum([len(i.encode()) for i in batch.ids], out=id_offsets[1:])
@@ -345,9 +381,13 @@ class BucketMapPipeline:
             rname_offsets = np.zeros(len(ref_short) + 1, np.int64)
             np.cumsum([len(x) for x in ref_short], out=rname_offsets[1:])
             rid = self.index.bucket_ref[np.asarray(rec_bucket, np.int64)]
-            cigar_buf = b"".join(rec_cigar)
-            cigar_offsets = np.zeros(len(rec_cigar) + 1, np.int64)
-            np.cumsum([len(c) for c in rec_cigar], out=cigar_offsets[1:])
+            if rec_cigar is None:
+                cigar_buf = b"\0"
+                cigar_offsets = np.zeros(len(rec_read) + 1, np.int64)
+            else:
+                cigar_buf = b"".join(rec_cigar) or b"\0"
+                cigar_offsets = np.zeros(len(rec_cigar) + 1, np.int64)
+                np.cumsum([len(c) for c in rec_cigar], out=cigar_offsets[1:])
             rr = np.asarray(rec_read, np.int32)
             out = native.format_sam_records(
                 rr, id_offsets, np.frombuffer(ids_buf, np.uint8),
@@ -363,9 +403,10 @@ class BucketMapPipeline:
                     else writer._f.write(out.decode())
                 return
         for i in range(len(rec_read)):
-            r = rec_read[i]
+            r = int(rec_read[i])
             seq = batch.seq_ascii[r, : batch.lengths[r]].tobytes().decode()
             qual = batch.qual_ascii[r, : batch.lengths[r]].tobytes().decode()
-            writer.write(batch.ids[r], rec_flag[i], bucket_names[rec_bucket[i]],
-                         rec_pos0[i], rec_mapq[i], seq, qual,
-                         rec_cigar[i].decode() or "*")
+            cig = "*" if rec_cigar is None else (rec_cigar[i].decode() or "*")
+            writer.write(batch.ids[r], int(rec_flag[i]),
+                         bucket_names[int(rec_bucket[i])],
+                         int(rec_pos0[i]), int(rec_mapq[i]), seq, qual, cig)
