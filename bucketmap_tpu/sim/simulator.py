@@ -116,18 +116,32 @@ class ShortReadSimulator:
         return codes, bucket, start, rev_comp, _cigar_to_string(cigar)
 
     def generate(self, out_dir: str | os.PathLike, indicator: str, size: int,
-                 simulate_error: bool = True) -> dict[str, str]:
-        """Write {indicator}.fastq / .bucket_ground_truth / .position_ground_truth."""
+                 simulate_error: bool = True,
+                 vectorized: bool | None = None) -> dict[str, str]:
+        """Write {indicator}.fastq / .bucket_ground_truth / .position_ground_truth.
+
+        vectorized=True (default for large sizes) draws all error-free
+        reads and substitution-only reads with batched numpy and loops
+        only over the rare indel reads — same distributions, different
+        random stream than the per-read path.
+        """
         os.makedirs(out_dir, exist_ok=True)
         paths = {
             "fastq": os.path.join(out_dir, indicator + ".fastq"),
             "bucket_gt": os.path.join(out_dir, indicator + ".bucket_ground_truth"),
             "position_gt": os.path.join(out_dir, indicator + ".position_ground_truth"),
         }
-        fq, bgt, pgt = [], [], []
+        if vectorized is None:
+            vectorized = size >= 50_000
         bl = self.cfg.bucket_len
-        for i in range(size):
-            codes, bucket, offset, rc, cigar = self.sample(simulate_error)
+        if vectorized:
+            rows = self._generate_vectorized(size, simulate_error)
+        else:
+            rows = []
+            for _ in range(size):
+                rows.append(self.sample(simulate_error))
+        fq, bgt, pgt = [], [], []
+        for i, (codes, bucket, offset, rc, cigar) in enumerate(rows):
             seq = decode_to_ascii(codes).decode()
             fq.append(f"@{i}\n{seq}\n+\n{'E' * len(seq)}\n")
             bgt.append(f"{bucket} {offset} {int(rc)} {cigar}\n")
@@ -140,6 +154,88 @@ class ShortReadSimulator:
         with open(paths["position_gt"], "w") as f:
             f.write("".join(pgt))
         return paths
+
+    def _generate_vectorized(self, size: int, simulate_error: bool):
+        """Batched sampling: same distributions as sample()."""
+        rng = self.rng
+        rl = self.cfg.read_len
+        nb = len(self.bucket_codes)
+        blens = np.asarray([len(c) for c in self.bucket_codes])
+        buckets = rng.randint(0, nb, size)
+        spans = np.maximum(blens[buckets] - rl - 1, 1)
+        starts = (rng.randint(0, 1 << 30, size) % spans) * \
+            (blens[buckets] > rl + 1)
+        # gather reads (dense bucket matrix; genomes here fit host RAM)
+        maxb = int(blens.max())
+        dense = np.zeros((nb, maxb), np.uint8)
+        for i, c in enumerate(self.bucket_codes):
+            dense[i, : len(c)] = c
+        col = np.arange(rl)
+        ends = np.minimum(starts + rl, blens[buckets])
+        lens = (ends - starts).astype(np.int64)
+        idx = np.minimum(starts[:, None] + col[None, :], maxb - 1)
+        reads = dense[buckets[:, None], idx]                     # (size, rl)
+
+        if simulate_error:
+            n_sub = rng.poisson(self.sub_lam, size)
+            n_ins = rng.poisson(self.ins_lam, size)
+            n_del = rng.poisson(self.del_lam, size)
+        else:
+            n_sub = n_ins = n_del = np.zeros(size, np.int64)
+        rc_flags = rng.randint(0, 2, size).astype(bool)
+
+        indel_rows = np.nonzero((n_ins + n_del) > 0)[0]
+        sub_only = np.nonzero((n_sub > 0) & ((n_ins + n_del) == 0))[0]
+
+        # vectorized substitutions for sub-only rows
+        cigars: dict[int, str] = {}
+        for r in sub_only:
+            L = int(lens[r])
+            ops = ["="] * L
+            for _ in range(int(n_sub[r])):
+                p = int(rng.randint(L))
+                new = int(rng.randint(4))
+                while new == reads[r, p]:
+                    new = int(rng.randint(4))
+                reads[r, p] = new
+                ops[p] = "X"
+            cigars[r] = _cigar_to_string(ops)
+
+        rows = []
+        for r in range(size):
+            L = int(lens[r])
+            if r in cigars:
+                codes = reads[r, :L]
+                cig = cigars[r]
+            elif int(n_ins[r] + n_del[r]) > 0:
+                # rare indel rows: full per-read error model
+                seq = list(reads[r, :L])
+                ops = ["="] * L
+                for _ in range(int(n_del[r])):
+                    p = int(rng.randint(len(seq)))
+                    del seq[p]
+                    ops[p] = "D"
+                for _ in range(int(n_ins[r])):
+                    p = int(rng.randint(len(seq)))
+                    seq.insert(p, int(rng.randint(4)))
+                    ops.insert(p, "I")
+                for _ in range(int(n_sub[r])):
+                    p = int(rng.randint(len(seq)))
+                    new = int(rng.randint(4))
+                    while new == seq[p]:
+                        new = int(rng.randint(4))
+                    seq[p] = new
+                    ops[p] = "X"
+                codes = np.asarray(seq, np.uint8)
+                cig = _cigar_to_string(ops)
+            else:
+                codes = reads[r, :L]
+                cig = f"{L}="
+            if rc_flags[r]:
+                codes = revcomp_codes(codes)
+            rows.append((codes, int(buckets[r]), int(starts[r]),
+                         bool(rc_flags[r]), cig))
+        return rows
 
 
 def random_genome(length: int, seed: int = 0, n_refs: int = 1,
