@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GENOME_MBP = float(os.environ.get("BMTPU_BENCH_GENOME_MBP", "256"))
 NUM_READS = int(os.environ.get("BMTPU_BENCH_READS", "100000"))
-BATCH = int(os.environ.get("BMTPU_BENCH_BATCH", "512"))
+BATCH = int(os.environ.get("BMTPU_BENCH_BATCH", "8192"))
 CACHE = os.environ.get("BMTPU_BENCH_CACHE", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_cache"))
 BASELINE_READS_PER_SEC = 3116.0

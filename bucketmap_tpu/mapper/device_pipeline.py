@@ -52,11 +52,12 @@ class DeviceMapper:
             else:
                 self.coarse.zeros_ge = jax.device_put(self.coarse.zeros_ge, ns())
             self.coarse.sample_tab = jax.device_put(self.coarse.sample_tab, ns())
-            self.fine.buckets_packed = jax.device_put(self.fine.buckets_packed, ns())
             self.fine.bucket_lengths = jax.device_put(self.fine.bucket_lengths, ns())
             if self.fine.fine_hash is not None:
                 self.fine.fine_hash = jax.device_put(self.fine.fine_hash, ns())
                 self.fine.fine_pos = jax.device_put(self.fine.fine_pos, ns())
+            else:
+                self.fine.buckets_packed = jax.device_put(self.fine.buckets_packed, ns())
             self.fine.sample_tab = jax.device_put(self.fine.sample_tab, ns())
             self._data_sharding = ns(data_axis)
             self._data_sharding2 = ns(data_axis, None)

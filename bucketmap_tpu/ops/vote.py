@@ -50,20 +50,36 @@ class FineLocator:
         cfg = index.config
         self.cfg = cfg
         self.pair_batch = pair_batch
-        self.buckets_packed = jnp.asarray(index.buckets_packed)
         self.bucket_lengths = jnp.asarray(index.bucket_lengths)
-        # positional fine index (optional): binary-searchable sorted hashes
+        # positional fine index (optional): binary-searchable sorted hashes.
+        # When present, the packed bucket sequences stay on the host (the
+        # sorted index replaces the scan kernel; at 1.7 Gbp the fine index
+        # alone is ~14 GB of HBM, so every byte counts).
         if index.fine_hash is not None:
             self.fine_hash = jnp.asarray(index.fine_hash)
             self.fine_pos = jnp.asarray(index.fine_pos)
+            self._packed_host = index.buckets_packed
+            self._packed_dev = None
         else:
             self.fine_hash = self.fine_pos = None
+            self._packed_host = index.buckets_packed
+            self._packed_dev = jnp.asarray(index.buckets_packed)
         self.sample_tab = jnp.asarray(sample_table(cfg.locator_samples, cfg.read_len))
         # index arrays are jit arguments, not closure captures (capture
         # would embed them as HLO constants; see ops/coarse.py)
         self._prepare = jax.jit(self._prepare_impl)
         self._vote = jax.jit(self._vote_impl)
         self._vote_s = jax.jit(self._vote_sorted_impl)
+
+    @property
+    def buckets_packed(self):
+        if self._packed_dev is None:
+            self._packed_dev = jnp.asarray(self._packed_host)
+        return self._packed_dev
+
+    @buckets_packed.setter
+    def buckets_packed(self, v):
+        self._packed_dev = v
 
     # ------------------------------------------------------------------
     def _prepare_impl(self, sample_tab, codes, quals, lengths):
