@@ -6,15 +6,20 @@ bucket_locator.h:162-177 and SURVEY §3.2) — then lets ~10 sampled read
 k-mers vote for the implied segment start with +-allowed_indel merging
 (_find_offset, bucket_locator.h:209-290).
 
-TPU-native design: no per-bucket hash map at all. Bucket sequences live
-2-bit-packed in HBM (uint32[N, Wb]); for a batch of (segment, bucket,
-strand) pairs we gather the packed rows, expand to the bucket's k-mer
-hash array with a log-shift combine, compare against the segment's
-sampled k-mer hashes (a dense VPU compare), and accumulate a blurred
-vote histogram over proposed start positions:
+TPU-native design: no per-bucket hash map at all. Two interchangeable
+kernels produce identical results:
 
-    proposal_j[x] = exists occurrence of sample j at bucket pos x + idx_j
-    votes[x]      = #{ j : exists proposal_j[y], |y - x| <= allowed_indel }
+  * packed-scan (_vote_impl): gather the bucket's 2-bit packed row,
+    expand to its k-mer hash array with a log-shift combine, and extract
+    each sample's occurrence positions with top_k over the match mask;
+  * positional-index (_vote_sorted_impl): binary-search each sample's
+    hash in the bucket's hash-sorted k-mer array built at index time
+    (index/builder.py:build_fine_index) — O(p log L) tiny gathers,
+    preferred whenever the index carries the sorted arrays.
+
+Both then vote among the <= samples*MAX_OCC proposed starts:
+
+    votes[x] = #{ j : exists occurrence of j proposing y, |y-x| <= indel }
 
 winner = max votes, then smallest x (the reference's max_element
 comparator, bucket_locator.h:281-283); accepted iff votes >=
