@@ -29,9 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 GENOME_MBP = float(os.environ.get("BMTPU_BENCH_GENOME_MBP", "256"))
 NUM_READS = int(os.environ.get("BMTPU_BENCH_READS", "100000"))
 BATCH = int(os.environ.get("BMTPU_BENCH_BATCH", "8192"))
+ALIGN = os.environ.get("BMTPU_BENCH_ALIGN", "0") == "1"
 CACHE = os.environ.get("BMTPU_BENCH_CACHE", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_cache"))
-BASELINE_READS_PER_SEC = 3116.0
+# align-free: 1M reads / 320.95 s; align: 1M / 426.78 s (benchmark/README.md:168-169)
+BASELINE_READS_PER_SEC_NOALIGN = 3116.0
+BASELINE_READS_PER_SEC_ALIGN = 2343.1
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -80,7 +83,7 @@ def main():
     batch = read_fastq(fastq_path)
     log(f"[bench] fastq parsed in {time.time()-t0:.2f}s ({batch.num_reads} reads)")
 
-    pipe = BucketMapPipeline(index, batch_size=BATCH, pair_batch=BATCH)
+    pipe = BucketMapPipeline(index, batch_size=BATCH, pair_batch=BATCH, align=ALIGN)
     # warmup: compile all jit programs on a small prefix
     t0 = time.time()
     warm = read_fastq(fastq_path)
@@ -92,7 +95,7 @@ def main():
     pipe.map_reads(warm_small, os.path.join(CACHE, "warmup.sam"))
     log(f"[bench] warmup (compile) {time.time()-t0:.1f}s")
 
-    sam_path = os.path.join(CACHE, f"out_{tag}.sam")
+    sam_path = os.path.join(CACHE, f"out_{tag}{'_al' if ALIGN else ''}.sam")
     t0 = time.time()
     stats = pipe.map_reads(batch, sam_path)
     dt = time.time() - t0
@@ -126,10 +129,12 @@ def main():
 
     print(json.dumps({
         "metric": f"reads_per_sec_per_chip ({NUM_READS} x 300bp sim reads, "
-                  f"{GENOME_MBP:g} Mbp genome, align-free)",
+                  f"{GENOME_MBP:g} Mbp genome, "
+                  f"{'align' if ALIGN else 'align-free'})",
         "value": round(rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+        "vs_baseline": round(rps / (BASELINE_READS_PER_SEC_ALIGN if ALIGN
+                                    else BASELINE_READS_PER_SEC_NOALIGN), 3),
         "pct_mapped": round(mapped / len(gt) * 100, 2),
         "pct_correct_position": round(correct / len(gt) * 100, 2),
     }))
