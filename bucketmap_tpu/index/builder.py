@@ -190,11 +190,11 @@ def build_index(records: list[FastaRecord], cfg: MapperConfig,
     wb = (max(bucket_lengths) + 15) // 16
     buckets_packed = np.zeros((n, wb), dtype=np.uint32)
 
-    # per-record q-gram hashes computed once, sliced per bucket
-    rec_hashes: dict[int, np.ndarray] = {}
+    # per-record q-gram hashes and packing computed once, sliced per bucket
     b = 0
     for rec_idx, rec in enumerate(records):
         hashes = None
+        rec_packed = None
         total = len(rec.codes)
         n_b = int(np.ceil(total / cfg.bucket_len)) if total else 0
         for i in range(n_b):
@@ -204,12 +204,22 @@ def build_index(records: list[FastaRecord], cfg: MapperConfig,
                 continue
             if hashes is None:
                 hashes = kmer_hashes(rec.codes, q) if total >= q else np.zeros(0, np.uint32)
-            h = hashes[start : end - q + 1]
-            rows = kmer_to_row[h]
-            rows = np.unique(rows[rows >= 0])
+                rec_packed = pack_2bit(rec.codes)
+            rows = kmer_to_row[hashes[start : end - q + 1]]
+            rows = rows[rows >= 0]
+            # duplicate rows are fine: |= scatters the same bit once
             qgram_words[rows, b >> 5] |= np.uint32(1 << (b & 31))
-            packed = pack_2bit(rec.codes[start:end])
-            buckets_packed[b, : len(packed)] = packed
+            # bucket starts are 16-aligned (bucket_len % 16 == 0), so the
+            # bucket's words are a slice of the record's packing — except
+            # the record-tail word, which may contain bases past `end`;
+            # repack the final word from codes to keep padding zeroed.
+            w0 = start // 16
+            w1 = (end + 15) // 16
+            buckets_packed[b, : w1 - w0] = rec_packed[w0:w1]
+            tail_base = (w1 - 1) * 16
+            if end - tail_base < 16:
+                buckets_packed[b, w1 - w0 - 1] = pack_2bit(
+                    rec.codes[tail_base:end])[0]
             b += 1
         if verbose:
             print(f"[index] record {rec_idx} ({rec.id.split()[0] if rec.id else ''}): "
