@@ -82,13 +82,13 @@ class BucketIndex:
     qgram_words: np.ndarray       # (G+1, W) uint32; row G all-ones sentinel
     zeros: np.ndarray             # (G+1,) int32 N - popcount; sentinel row = -1
     buckets_packed: np.ndarray    # (N, Wb) uint32
-    # Optional positional fine index: per bucket, the k-mer hashes sorted
-    # ascending (stable, so equal hashes keep position order) and their
-    # positions. Lets the fine stage binary-search occurrences instead of
-    # scanning the bucket (SURVEY §7.1). Padded with 0xFFFFFFFF sentinel
-    # hashes (> any real hash since query_seed <= 15 in practice).
-    fine_hash: np.ndarray | None = None   # (N, Lpos) uint32 sorted
-    fine_pos: np.ndarray | None = None    # (N, Lpos) int32
+    # Optional positional fine index: per bucket, k-mer POSITIONS ordered
+    # by ascending k-mer hash (stable, so equal hashes keep position
+    # order); -1 pads past the bucket's valid k-mers. The fine stage
+    # binary-searches occurrences, deriving the hash at a probe from the
+    # packed bucket sequence — storing positions only (4 B/base instead
+    # of 8) is what lets a 1.7 Gbp index fit one chip's HBM (SURVEY §7.1).
+    fine_pos: np.ndarray | None = None    # (N, Lpos) int32, -1-padded
 
     @property
     def n_buckets(self) -> int:
@@ -124,32 +124,31 @@ def iterate_buckets(records: list[FastaRecord], cfg: MapperConfig):
 
 
 def build_fine_index(index: BucketIndex, row_chunk: int = 512) -> None:
-    """Attach the positional fine index (hash-sorted k-mer arrays) to an
-    index in place. Memory: 8 bytes per genome base."""
+    """Attach the positional fine index (hash-ordered k-mer positions) to
+    an index in place. Memory: 4 bytes per genome base."""
     from bucketmap_tpu.ops.encoding import kmer_hashes, unpack_2bit
 
     cfg = index.config
     k = cfg.query_seed
     if k >= 16:
         raise ValueError("positional fine index requires query_seed <= 15 "
-                         "(0xFFFFFFFF is the padding sentinel)")
+                         "(the sort uses 0xFFFFFFFF as the padding sentinel)")
     n = index.n_buckets
     lb = index.buckets_packed.shape[1] * 16
     lpos = lb - k + 1
-    fine_hash = np.empty((n, lpos), dtype=np.uint32)
     fine_pos = np.empty((n, lpos), dtype=np.int32)
     for s in range(0, n, row_chunk):
         e = min(s + row_chunk, n)
         codes = unpack_2bit(index.buckets_packed[s:e], lb)
         hashes = kmer_hashes(codes, k)                    # (rows, lpos)
-        # invalidate positions beyond each bucket's true length
+        # invalidate positions beyond each bucket's true length; the
+        # sentinel sorts last so -1 pads the tail
         posv = np.arange(lpos, dtype=np.int32)
         invalid = posv[None, :] > (index.bucket_lengths[s:e, None] - k)
         hashes = np.where(invalid, np.uint32(0xFFFFFFFF), hashes)
-        order = np.argsort(hashes, axis=1, kind="stable")
-        fine_hash[s:e] = np.take_along_axis(hashes, order, axis=1)
-        fine_pos[s:e] = order.astype(np.int32)
-    index.fine_hash = fine_hash
+        order = np.argsort(hashes, axis=1, kind="stable").astype(np.int32)
+        sorted_invalid = np.take_along_axis(invalid, order, axis=1)
+        fine_pos[s:e] = np.where(sorted_invalid, -1, order)
     index.fine_pos = fine_pos
 
 
@@ -261,8 +260,7 @@ def save_index(index: BucketIndex, directory: str | os.PathLike, indicator: str)
         qgram_words=index.qgram_words, zeros=index.zeros,
         buckets_packed=index.buckets_packed,
     )
-    if index.fine_hash is not None:
-        arrays["fine_hash"] = index.fine_hash
+    if index.fine_pos is not None:
         arrays["fine_pos"] = index.fine_pos
     np.savez(base + ".bmtpu.npz", **arrays)
     meta = {
@@ -287,7 +285,6 @@ def load_index(directory: str | os.PathLike, indicator: str) -> BucketIndex:
         bucket_lengths=arrs["bucket_lengths"], kmer_to_row=arrs["kmer_to_row"],
         qgram_words=arrs["qgram_words"], zeros=arrs["zeros"],
         buckets_packed=arrs["buckets_packed"],
-        fine_hash=arrs["fine_hash"] if "fine_hash" in arrs else None,
         fine_pos=arrs["fine_pos"] if "fine_pos" in arrs else None,
     )
 

@@ -53,11 +53,9 @@ class DeviceMapper:
                 self.coarse.zeros_ge = jax.device_put(self.coarse.zeros_ge, ns())
             self.coarse.sample_tab = jax.device_put(self.coarse.sample_tab, ns())
             self.fine.bucket_lengths = jax.device_put(self.fine.bucket_lengths, ns())
-            if self.fine.fine_hash is not None:
-                self.fine.fine_hash = jax.device_put(self.fine.fine_hash, ns())
+            self.fine.buckets_packed = jax.device_put(self.fine.buckets_packed, ns())
+            if self.fine.fine_pos is not None:
                 self.fine.fine_pos = jax.device_put(self.fine.fine_pos, ns())
-            else:
-                self.fine.buckets_packed = jax.device_put(self.fine.buckets_packed, ns())
             self.fine.sample_tab = jax.device_put(self.fine.sample_tab, ns())
             self._data_sharding = ns(data_axis)
             self._data_sharding2 = ns(data_axis, None)
@@ -69,8 +67,8 @@ class DeviceMapper:
     def _step_impl(self, qgram_words, kmer_to_row, dist_tab, c_sample_tab,
                    vote_tab_a, vote_tab_b, f_sample_tab,
                    codes, quals, lengths):
-        """vote_tab_a/b are (fine_hash, fine_pos) when the positional fine
-        index is present, else (buckets_packed, bucket_lengths)."""
+        """vote_tab_a/b are (fine_pos, buckets_packed) when the positional
+        fine index is present, else (buckets_packed, bucket_lengths)."""
         cfg = self.cfg
         B = codes.shape[0]
         C = cfg.max_candidate_buckets
@@ -93,7 +91,7 @@ class DeviceMapper:
         lane_rc = ((sel // C) % 2).astype(bool)
         lane_bucket = jnp.clip(flat[sel], 0, None).astype(jnp.int32)
 
-        if self.fine.fine_hash is not None:
+        if self.fine.fine_pos is not None:
             # positional index: voting is tiny gathers — all lanes at once
             off, votes, acc = self.fine._vote_sorted_impl(
                 vote_tab_a, vote_tab_b, lane_bucket, lane_rc,
@@ -146,8 +144,8 @@ class DeviceMapper:
             codes = jax.device_put(codes, self._data_sharding2)
             quals = jax.device_put(quals, self._data_sharding2)
             lengths = jax.device_put(lengths, self._data_sharding)
-        if self.fine.fine_hash is not None:
-            vote_tabs = (self.fine.fine_hash, self.fine.fine_pos)
+        if self.fine.fine_pos is not None:
+            vote_tabs = (self.fine.fine_pos, self.fine.buckets_packed)
         else:
             vote_tabs = (self.fine.buckets_packed, self.fine.bucket_lengths)
         return self._step(

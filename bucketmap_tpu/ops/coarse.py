@@ -155,10 +155,14 @@ class CoarseMapper:
                 t = planes[j] & carry
                 planes[j] = planes[j] ^ carry
                 carry = t
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        hits = jnp.zeros((B, 2, w, 32), dtype=jnp.int8)
+        # expand plane words to per-bucket counts via BYTES (bitcast u32 ->
+        # 4x u8) so the intermediates stay 1 byte/bucket — the direct u32
+        # shift would materialize 4 bytes/bucket/plane (OOMs at Gbp scale)
+        shifts8 = jnp.arange(8, dtype=jnp.uint8)
+        hits = jnp.zeros((B, 2, w, 4, 8), dtype=jnp.int8)
         for j in range(n_planes):
-            bit = ((planes[j][..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int8)
+            by = jax.lax.bitcast_convert_type(planes[j], jnp.uint8)  # (B,2,w,4) LE
+            bit = ((by[..., None] >> shifts8) & jnp.uint8(1)).astype(jnp.int8)
             hits = hits + (bit << j)
         hits = hits.reshape(B, 2, n_pad)
 

@@ -56,19 +56,15 @@ class FineLocator:
         self.cfg = cfg
         self.pair_batch = pair_batch
         self.bucket_lengths = jnp.asarray(index.bucket_lengths)
-        # positional fine index (optional): binary-searchable sorted hashes.
-        # When present, the packed bucket sequences stay on the host (the
-        # sorted index replaces the scan kernel; at 1.7 Gbp the fine index
-        # alone is ~14 GB of HBM, so every byte counts).
-        if index.fine_hash is not None:
-            self.fine_hash = jnp.asarray(index.fine_hash)
+        # positional fine index (optional): hash-ordered position arrays;
+        # probe hashes derive from the packed rows, so HBM holds positions
+        # (4 B/base) + packing (0.25 B/base) instead of hash+pos (8 B/base)
+        if index.fine_pos is not None:
             self.fine_pos = jnp.asarray(index.fine_pos)
-            self._packed_host = index.buckets_packed
-            self._packed_dev = None
         else:
-            self.fine_hash = self.fine_pos = None
-            self._packed_host = index.buckets_packed
-            self._packed_dev = jnp.asarray(index.buckets_packed)
+            self.fine_pos = None
+        self._packed_host = index.buckets_packed
+        self._packed_dev = None
         self.sample_tab = jnp.asarray(sample_table(cfg.locator_samples, cfg.read_len))
         # index arrays are jit arguments, not closure captures (capture
         # would embed them as HLO constants; see ops/coarse.py)
@@ -195,18 +191,44 @@ class FineLocator:
         return offset.astype(jnp.int32), best_votes, accept
 
     # ------------------------------------------------------------------
-    def _vote_sorted_impl(self, fine_hash, fine_pos,
+    def _vote_sorted_impl(self, fine_pos, buckets_packed,
                           bucket_ids, is_rc, samp_hash, samp_idx, seg_len):
         """Positional-index variant of _vote_impl: occurrences come from a
-        binary search over the bucket's hash-sorted k-mer array instead of
-        scanning the bucket — O(p * (log Lpos + MAX_OCC)) tiny gathers per
-        pair. Identical results (stable sort keeps equal hashes in
-        position order, matching the earliest-position extraction)."""
+        binary search over the bucket's hash-ordered position array —
+        O(p * (log Lpos + MAX_OCC)) tiny gathers per pair. The probe's
+        hash is DERIVED from the 2-bit packed bucket row (two word
+        gathers + shifts), so only positions (4 B/base) live in HBM.
+        Identical results to the scan kernel (stable sort keeps equal
+        hashes in position order = earliest-position extraction)."""
         cfg = self.cfg
         k, p, indel = cfg.query_seed, cfg.locator_samples, cfg.allowed_indel
         O = self.MAX_OCC
         P = bucket_ids.shape[0]
-        lpos = fine_hash.shape[1]
+        lpos = fine_pos.shape[1]
+        kmask = jnp.uint32(4**k - 1)
+
+        def hash_at(bid_arr, pos):
+            """k-mer hash at base position `pos` in bucket `bid_arr`
+            (invalid pos<0 -> sentinel 0xFFFFFFFF). Packing is LSB-first
+            16 bases/word; hashes are big-endian base order, so the
+            extracted chunk's base order is reversed."""
+            valid = pos >= 0
+            sp = jnp.clip(pos, 0, None)
+            w0 = sp >> 4
+            o = (sp & 15).astype(jnp.uint32)
+            a = buckets_packed[bid_arr, w0]
+            w1 = jnp.minimum(w0 + 1, buckets_packed.shape[1] - 1)
+            bword = buckets_packed[bid_arr, w1]
+            lowshift = 2 * o
+            upshift = (jnp.uint32(32) - lowshift) & jnp.uint32(31)
+            chunk = (a >> lowshift) | jnp.where(
+                o > 0, bword << upshift, jnp.uint32(0))
+            chunk = chunk & kmask  # base i of k-mer at bits 2i (LSB-first)
+            h = jnp.zeros_like(chunk)
+            for i in range(k):  # reverse base order -> big-endian hash
+                h = h | (((chunk >> jnp.uint32(2 * i)) & jnp.uint32(3))
+                         << jnp.uint32(2 * (k - 1 - i)))
+            return jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))
 
         tgt_hash = jnp.where(is_rc[:, None],
                              revcomp_hash(samp_hash, k, xp=jnp), samp_hash)
@@ -220,16 +242,17 @@ class FineLocator:
         bid = bucket_ids[:, None]
         for _ in range(steps):
             mid = (lo + hi) // 2
-            v = fine_hash[bid, mid]                       # (P, p) gather
+            v = hash_at(bid, fine_pos[bid, jnp.clip(mid, 0, lpos - 1)])
             below = v < tgt_hash
             lo = jnp.where(below, mid + 1, lo)
             hi = jnp.where(below, hi, mid)
 
         occ_idx = jnp.clip(lo[:, :, None] + jnp.arange(O, dtype=jnp.int32),
                            0, lpos - 1)                   # (P, p, O)
-        h_o = fine_hash[bid[:, :, None], occ_idx]
+        occ_pos_raw = fine_pos[bid[:, :, None], occ_idx]
+        h_o = hash_at(bid[:, :, None], occ_pos_raw)
         occ_valid = h_o == tgt_hash[:, :, None]
-        occ_pos = jnp.where(occ_valid, fine_pos[bid[:, :, None], occ_idx], 0)
+        occ_pos = jnp.where(occ_valid, occ_pos_raw, 0)
         prop = occ_pos - tgt_idx[:, :, None]
 
         cand = prop.reshape(P, p * O)
@@ -273,8 +296,8 @@ class FineLocator:
             args = (jnp.asarray(_pad(bucket_ids)), jnp.asarray(_pad(is_rc)),
                     jnp.asarray(_pad(samp_hash)), jnp.asarray(_pad(samp_idx)),
                     jnp.asarray(_pad(seg_len, fill=1)))
-            if self.fine_hash is not None:
-                off, v, acc = self._vote_s(self.fine_hash, self.fine_pos, *args)
+            if self.fine_pos is not None:
+                off, v, acc = self._vote_s(self.fine_pos, self.buckets_packed, *args)
             else:
                 off, v, acc = self._vote(
                     self.buckets_packed, self.bucket_lengths, *args)
