@@ -27,7 +27,6 @@ Per-read flow (query_sequence, q_gram_mapper.h:414-480):
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

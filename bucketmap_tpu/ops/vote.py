@@ -38,7 +38,6 @@ mirrored index seg_len - k - idx (bucket_locator.h:236-243).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
