@@ -26,8 +26,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-GENOME_MBP = float(os.environ.get("BMTPU_BENCH_GENOME_MBP", "256"))
-NUM_READS = int(os.environ.get("BMTPU_BENCH_READS", "100000"))
+GENOME_MBP = float(os.environ.get("BMTPU_BENCH_GENOME_MBP", "1700"))
+NUM_READS = int(os.environ.get("BMTPU_BENCH_READS", "1000000"))
 BATCH = int(os.environ.get("BMTPU_BENCH_BATCH", "8192"))
 ALIGN = os.environ.get("BMTPU_BENCH_ALIGN", "0") == "1"
 CACHE = os.environ.get("BMTPU_BENCH_CACHE", os.path.join(
@@ -50,7 +50,7 @@ def main():
     cfg = MapperConfig(bucket_len=65536, read_len=300)
     tag = f"g{GENOME_MBP:g}m_r{NUM_READS}"
     os.makedirs(CACHE, exist_ok=True)
-    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP:g}.bmtpu.npz")
+    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP:g}.bmtpu.json")
     fastq_path = os.path.join(CACHE, f"reads_{tag}.fastq")
 
     t0 = time.time()

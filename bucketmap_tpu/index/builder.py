@@ -262,7 +262,9 @@ def save_index(index: BucketIndex, directory: str | os.PathLike, indicator: str)
     )
     if index.fine_pos is not None:
         arrays["fine_pos"] = index.fine_pos
-    np.savez(base + ".bmtpu.npz", **arrays)
+    # one .npy per array: mmap-able on load (a multi-GB npz cannot be)
+    for name, arr in arrays.items():
+        np.save(f"{base}.bmtpu.{name}.npy", arr)
     meta = {
         "config": dataclasses.asdict(index.config),
         "ref_names": index.ref_names,
@@ -277,15 +279,28 @@ def load_index(directory: str | os.PathLike, indicator: str) -> BucketIndex:
     base = os.path.join(directory, indicator)
     with open(base + ".bmtpu.json") as f:
         meta = json.load(f)
-    arrs = np.load(base + ".bmtpu.npz")
+    if os.path.exists(base + ".bmtpu.qgram_words.npy"):
+        def arr(name, optional=False):
+            path = f"{base}.bmtpu.{name}.npy"
+            if optional and not os.path.exists(path):
+                return None
+            return np.load(path, mmap_mode="r")
+        fine_pos = arr("fine_pos", optional=True)
+    else:  # legacy single-npz artifact
+        arrs = np.load(base + ".bmtpu.npz")
+        def arr(name, optional=False):
+            return arrs[name] if (not optional or name in arrs) else None
+        fine_pos = arr("fine_pos", optional=True)
     return BucketIndex(
         config=MapperConfig(**meta["config"]),
         ref_names=meta["ref_names"], bucket_names=meta["bucket_names"],
-        bucket_ref=arrs["bucket_ref"], bucket_ordinal=arrs["bucket_ordinal"],
-        bucket_lengths=arrs["bucket_lengths"], kmer_to_row=arrs["kmer_to_row"],
-        qgram_words=arrs["qgram_words"], zeros=arrs["zeros"],
-        buckets_packed=arrs["buckets_packed"],
-        fine_pos=arrs["fine_pos"] if "fine_pos" in arrs else None,
+        bucket_ref=np.asarray(arr("bucket_ref")),
+        bucket_ordinal=np.asarray(arr("bucket_ordinal")),
+        bucket_lengths=np.asarray(arr("bucket_lengths")),
+        kmer_to_row=np.asarray(arr("kmer_to_row")),
+        qgram_words=arr("qgram_words"), zeros=np.asarray(arr("zeros")),
+        buckets_packed=arr("buckets_packed"),
+        fine_pos=fine_pos,
     )
 
 

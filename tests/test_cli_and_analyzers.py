@@ -26,7 +26,7 @@ def workdir(tmp_path_factory):
 
 def test_cli_index_map_analyze(workdir, capsys):
     d = workdir
-    assert (d / "t.qgram").exists() and (d / "t.bmtpu.npz").exists()
+    assert (d / "t.qgram").exists() and (d / "t.bmtpu.qgram_words.npy").exists()
     assert cli_main(["map", "-i", "t", "-q", str(d / "rd.fastq"),
                      "-o", str(d / "out.sam"), "--index-dir", str(d),
                      "--batch-size", "128"] + ARGS) == 0
