@@ -89,6 +89,17 @@ class BucketIndex:
     # packed bucket sequence — storing positions only (4 B/base instead
     # of 8) is what lets a 1.7 Gbp index fit one chip's HBM (SURVEY §7.1).
     fine_pos: np.ndarray | None = None    # (N, Lpos) int32, -1-padded
+    # Prefix acceleration for the fine index (built alongside fine_pos
+    # when 2*query_seed - 12 <= 16): the sorted hash at each slot is
+    # split into a 12-bit prefix and (2k-12) low bits;
+    #   fine_ptab[b, p] = first slot in bucket b whose hash prefix >= p
+    #   fine_low[b, i]  = low bits of the sorted hash at slot i (0xFFFF pad)
+    # so a lookup is ONE ptab gather + a short binary search over uint16
+    # instead of 17 packed-row derivations (3 gathers each). The max
+    # prefix-segment length bounds the search depth (fine_search_steps).
+    fine_ptab: np.ndarray | None = None   # (N, 4097) int32
+    fine_low: np.ndarray | None = None    # (N, Lpos) uint16
+    fine_search_steps: int = 0
 
     @property
     def n_buckets(self) -> int:
@@ -136,7 +147,12 @@ def build_fine_index(index: BucketIndex, row_chunk: int = 512) -> None:
     n = index.n_buckets
     lb = index.buckets_packed.shape[1] * 16
     lpos = lb - k + 1
+    low_bits = 2 * k - 12
+    with_prefix = 0 <= low_bits <= 16
     fine_pos = np.empty((n, lpos), dtype=np.int32)
+    fine_ptab = np.empty((n, 4097), dtype=np.int32) if with_prefix else None
+    fine_low = np.empty((n, lpos), dtype=np.uint16) if with_prefix else None
+    max_seg = 1
     for s in range(0, n, row_chunk):
         e = min(s + row_chunk, n)
         codes = unpack_2bit(index.buckets_packed[s:e], lb)
@@ -149,7 +165,26 @@ def build_fine_index(index: BucketIndex, row_chunk: int = 512) -> None:
         order = np.argsort(hashes, axis=1, kind="stable").astype(np.int32)
         sorted_invalid = np.take_along_axis(invalid, order, axis=1)
         fine_pos[s:e] = np.where(sorted_invalid, -1, order)
+        if with_prefix:
+            sh = np.take_along_axis(hashes, order, axis=1)
+            prefix = (sh >> np.uint32(low_bits)).astype(np.int32)
+            prefix = np.where(sorted_invalid, 4096, prefix)
+            fine_low[s:e] = np.where(
+                sorted_invalid, np.uint16(0xFFFF),
+                (sh & np.uint32((1 << low_bits) - 1)).astype(np.uint16))
+            # segment starts: prefixes are sorted per row, so boundaries
+            # come straight from searchsorted
+            pvals = np.arange(4097, dtype=np.int32)
+            ptab = np.empty((e - s, 4097), dtype=np.int32)
+            for r in range(e - s):
+                ptab[r] = np.searchsorted(prefix[r], pvals, side="left")
+            fine_ptab[s:e] = ptab
+            max_seg = max(max_seg, int(np.diff(ptab, axis=1).max()))
     index.fine_pos = fine_pos
+    index.fine_ptab = fine_ptab
+    index.fine_low = fine_low
+    index.fine_search_steps = int(max(1, max_seg - 1)).bit_length() \
+        if with_prefix else 0
 
 
 def build_index(records: list[FastaRecord], cfg: MapperConfig,
@@ -262,6 +297,9 @@ def save_index(index: BucketIndex, directory: str | os.PathLike, indicator: str)
     )
     if index.fine_pos is not None:
         arrays["fine_pos"] = index.fine_pos
+    if index.fine_ptab is not None:
+        arrays["fine_ptab"] = index.fine_ptab
+        arrays["fine_low"] = index.fine_low
     # one .npy per array: mmap-able on load (a multi-GB npz cannot be)
     for name, arr in arrays.items():
         np.save(f"{base}.bmtpu.{name}.npy", arr)
@@ -269,6 +307,7 @@ def save_index(index: BucketIndex, directory: str | os.PathLike, indicator: str)
         "config": dataclasses.asdict(index.config),
         "ref_names": index.ref_names,
         "bucket_names": index.bucket_names,
+        "fine_search_steps": index.fine_search_steps,
         "version": 1,
     }
     with open(base + ".bmtpu.json", "w") as f:
@@ -285,12 +324,10 @@ def load_index(directory: str | os.PathLike, indicator: str) -> BucketIndex:
             if optional and not os.path.exists(path):
                 return None
             return np.load(path, mmap_mode="r")
-        fine_pos = arr("fine_pos", optional=True)
     else:  # legacy single-npz artifact
         arrs = np.load(base + ".bmtpu.npz")
         def arr(name, optional=False):
             return arrs[name] if (not optional or name in arrs) else None
-        fine_pos = arr("fine_pos", optional=True)
     return BucketIndex(
         config=MapperConfig(**meta["config"]),
         ref_names=meta["ref_names"], bucket_names=meta["bucket_names"],
@@ -300,7 +337,10 @@ def load_index(directory: str | os.PathLike, indicator: str) -> BucketIndex:
         kmer_to_row=np.asarray(arr("kmer_to_row")),
         qgram_words=arr("qgram_words"), zeros=np.asarray(arr("zeros")),
         buckets_packed=arr("buckets_packed"),
-        fine_pos=fine_pos,
+        fine_pos=arr("fine_pos", optional=True),
+        fine_ptab=arr("fine_ptab", optional=True),
+        fine_low=arr("fine_low", optional=True),
+        fine_search_steps=int(meta.get("fine_search_steps", 0)),
     )
 
 

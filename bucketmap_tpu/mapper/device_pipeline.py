@@ -56,6 +56,9 @@ class DeviceMapper:
             self.fine.buckets_packed = jax.device_put(self.fine.buckets_packed, ns())
             if self.fine.fine_pos is not None:
                 self.fine.fine_pos = jax.device_put(self.fine.fine_pos, ns())
+            if self.fine.fine_ptab is not None:
+                self.fine.fine_ptab = jax.device_put(self.fine.fine_ptab, ns())
+                self.fine.fine_low = jax.device_put(self.fine.fine_low, ns())
             self.fine.sample_tab = jax.device_put(self.fine.sample_tab, ns())
             self._data_sharding = ns(data_axis)
             self._data_sharding2 = ns(data_axis, None)
@@ -65,10 +68,11 @@ class DeviceMapper:
 
     # ------------------------------------------------------------------
     def _step_impl(self, qgram_words, kmer_to_row, dist_tab, c_sample_tab,
-                   vote_tab_a, vote_tab_b, f_sample_tab,
-                   codes, quals, lengths):
-        """vote_tab_a/b are (fine_pos, buckets_packed) when the positional
-        fine index is present, else (buckets_packed, bucket_lengths)."""
+                   vote_tabs, f_sample_tab, codes, quals, lengths):
+        """vote_tabs is a tuple pytree whose layout matches the available
+        fine index: (fine_ptab, fine_low, fine_pos) for the prefix path,
+        (fine_pos, buckets_packed) for the plain positional path, else
+        (buckets_packed, bucket_lengths) for the packed-scan path."""
         cfg = self.cfg
         B = codes.shape[0]
         C = cfg.max_candidate_buckets
@@ -91,38 +95,39 @@ class DeviceMapper:
         lane_rc = ((sel // C) % 2).astype(bool)
         lane_bucket = jnp.clip(flat[sel], 0, None).astype(jnp.int32)
 
-        if self.fine.fine_pos is not None:
-            # positional index: voting is tiny gathers — all lanes at once
-            off, votes, acc = self.fine._vote_sorted_impl(
-                vote_tab_a, vote_tab_b, lane_bucket, lane_rc,
-                samp_hash[lane_read], samp_idx[lane_read], lengths[lane_read])
+        if self.fine.fine_ptab is not None:
+            vote_impl = self.fine._vote_prefix_impl
+        elif self.fine.fine_pos is not None:
+            vote_impl = self.fine._vote_sorted_impl
         else:
-            # packed-scan voting, chunked sequentially inside the dispatch;
-            # chunks whose lanes are all padding (compaction puts valid
-            # lanes first) skip the vote entirely via cond
-            ch = self.vote_chunk
-            n_chunks = P // ch
+            vote_impl = self.fine._vote_impl
 
-            def chunk_fn(args):
-                ci, b, rc, sh, si, sl = args
+        # voting is chunked sequentially inside the dispatch; chunks whose
+        # lanes are all padding (compaction puts valid lanes first) skip
+        # the vote entirely via cond — on typical data only ~1/4 of the
+        # pair budget is live
+        ch = self.vote_chunk
+        n_chunks = P // ch
 
-                def live(_):
-                    return self.fine._vote_impl(vote_tab_a, vote_tab_b,
-                                                b, rc, sh, si, sl)
+        def chunk_fn(args):
+            ci, b, rc, sh, si, sl = args
 
-                def dead(_):
-                    z = jnp.zeros(b.shape, jnp.int32)
-                    return z, z, jnp.zeros(b.shape, bool)
+            def live(_):
+                return vote_impl(*vote_tabs, b, rc, sh, si, sl)
 
-                return jax.lax.cond(ci * ch < total_valid, live, dead, None)
+            def dead(_):
+                z = jnp.zeros(b.shape, jnp.int32)
+                return z, z, jnp.zeros(b.shape, bool)
 
-            xs = (jnp.arange(n_chunks, dtype=jnp.int32),
-                  lane_bucket.reshape(n_chunks, ch),
-                  lane_rc.reshape(n_chunks, ch),
-                  samp_hash[lane_read].reshape(n_chunks, ch, -1),
-                  samp_idx[lane_read].reshape(n_chunks, ch, -1),
-                  lengths[lane_read].reshape(n_chunks, ch))
-            off, votes, acc = jax.lax.map(chunk_fn, xs)
+            return jax.lax.cond(ci * ch < total_valid, live, dead, None)
+
+        xs = (jnp.arange(n_chunks, dtype=jnp.int32),
+              lane_bucket.reshape(n_chunks, ch),
+              lane_rc.reshape(n_chunks, ch),
+              samp_hash[lane_read].reshape(n_chunks, ch, -1),
+              samp_idx[lane_read].reshape(n_chunks, ch, -1),
+              lengths[lane_read].reshape(n_chunks, ch))
+        off, votes, acc = jax.lax.map(chunk_fn, xs)
         acc = acc.reshape(P) & slot_ok
 
         return {
@@ -144,10 +149,13 @@ class DeviceMapper:
             codes = jax.device_put(codes, self._data_sharding2)
             quals = jax.device_put(quals, self._data_sharding2)
             lengths = jax.device_put(lengths, self._data_sharding)
-        if self.fine.fine_pos is not None:
+        if self.fine.fine_ptab is not None:
+            vote_tabs = (self.fine.fine_ptab, self.fine.fine_low,
+                         self.fine.fine_pos)
+        elif self.fine.fine_pos is not None:
             vote_tabs = (self.fine.fine_pos, self.fine.buckets_packed)
         else:
             vote_tabs = (self.fine.buckets_packed, self.fine.bucket_lengths)
         return self._step(
-            *self.coarse._index_args(), *vote_tabs, self.fine.sample_tab,
+            *self.coarse._index_args(), vote_tabs, self.fine.sample_tab,
             codes, quals, lengths)

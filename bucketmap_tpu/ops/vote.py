@@ -62,6 +62,16 @@ class FineLocator:
             self.fine_pos = jnp.asarray(index.fine_pos)
         else:
             self.fine_pos = None
+        # prefix acceleration (optional, preferred): 12-bit-prefix segment
+        # table + low-bit array -> ONE ptab gather + a short uint16 binary
+        # search per lookup, no packed-row hash derivation at all
+        if index.fine_ptab is not None:
+            self.fine_ptab = jnp.asarray(index.fine_ptab)
+            self.fine_low = jnp.asarray(index.fine_low)
+            self.search_steps = index.fine_search_steps
+        else:
+            self.fine_ptab = self.fine_low = None
+            self.search_steps = 0
         self._packed_host = index.buckets_packed
         self._packed_dev = None
         self.sample_tab = jnp.asarray(sample_table(cfg.locator_samples, cfg.read_len))
@@ -70,6 +80,7 @@ class FineLocator:
         self._prepare = jax.jit(self._prepare_impl)
         self._vote = jax.jit(self._vote_impl)
         self._vote_s = jax.jit(self._vote_sorted_impl)
+        self._vote_p = jax.jit(self._vote_prefix_impl)
 
     @property
     def buckets_packed(self):
@@ -117,6 +128,33 @@ class FineLocator:
     # occurrences per sampled k-mer considered (a 12-mer matches a 65 kb
     # bucket ~1.02 times on average; > MAX_OCC only in tandem repeats)
     MAX_OCC = 8
+
+    def _tally(self, prop, occ_valid):
+        """Vote among proposed segment starts and pick the winner.
+
+        prop/occ_valid: (P, p, O). Candidate c gets one vote from each
+        sample j with some occurrence proposing within +-indel of c;
+        winner = max votes then smallest start (bucket_locator.h:281-283);
+        accepted iff votes >= min_vote and start >= 1 (:284,674)."""
+        cfg = self.cfg
+        P, p, O = prop.shape
+        indel = cfg.allowed_indel
+        cand = prop.reshape(P, p * O)
+        cand_valid = occ_valid.reshape(P, p * O)
+        close = (jnp.abs(cand[:, :, None, None] - prop[:, None, :, :]) <= indel) \
+            & occ_valid[:, None, :, :]                            # (P,pO,p,O)
+        votes = close.any(axis=3).sum(axis=2).astype(jnp.int32)   # (P, pO)
+        xoff = cand + cfg.read_len  # make non-negative for the key
+        key = jnp.where(cand_valid,
+                        votes * (1 << 18) + ((1 << 18) - 1 - xoff), -1)
+        best = jnp.argmax(key, axis=1)
+        best_votes = jnp.take_along_axis(votes, best[:, None], axis=1)[:, 0]
+        offset = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+        any_cand = cand_valid.any(axis=1)
+        accept = (any_cand
+                  & (best_votes >= cfg.min_vote)
+                  & (offset >= 1))
+        return offset.astype(jnp.int32), best_votes, accept
 
     def _vote_impl(self, buckets_packed, bucket_lengths,
                    bucket_ids, is_rc, samp_hash, samp_idx, seg_len):
@@ -167,27 +205,7 @@ class FineLocator:
         occ_pos = jnp.where(occ_valid, lpos - occ_score, 0)
         # proposed segment starts x = occurrence - sample index in segment
         prop = occ_pos - tgt_idx[:, :, None]                      # (P, p, O)
-
-        # votes among candidate starts: candidate c gets one vote from each
-        # sample j with some occurrence proposing within +-indel of c
-        cand = prop.reshape(P, p * O)                             # (P, p*O)
-        cand_valid = occ_valid.reshape(P, p * O)
-        close = (jnp.abs(cand[:, :, None, None] - prop[:, None, :, :]) <= indel) \
-            & occ_valid[:, None, :, :]                            # (P,pO,p,O)
-        votes = close.any(axis=3).sum(axis=2).astype(jnp.int32)   # (P, pO)
-
-        # winner: max votes, then smallest start (bucket_locator.h:281-283)
-        xoff = cand + cfg.read_len  # make non-negative for the key
-        key = jnp.where(cand_valid,
-                        votes * (1 << 18) + ((1 << 18) - 1 - xoff), -1)
-        best = jnp.argmax(key, axis=1)
-        best_votes = jnp.take_along_axis(votes, best[:, None], axis=1)[:, 0]
-        offset = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
-        any_cand = cand_valid.any(axis=1)
-        accept = (any_cand
-                  & (best_votes >= cfg.min_vote)
-                  & (offset >= 1))
-        return offset.astype(jnp.int32), best_votes, accept
+        return self._tally(prop, occ_valid)
 
     # ------------------------------------------------------------------
     def _vote_sorted_impl(self, fine_pos, buckets_packed,
@@ -253,24 +271,57 @@ class FineLocator:
         occ_valid = h_o == tgt_hash[:, :, None]
         occ_pos = jnp.where(occ_valid, occ_pos_raw, 0)
         prop = occ_pos - tgt_idx[:, :, None]
+        return self._tally(prop, occ_valid)
 
-        cand = prop.reshape(P, p * O)
-        cand_valid = occ_valid.reshape(P, p * O)
-        close = (jnp.abs(cand[:, :, None, None] - prop[:, None, :, :]) <= indel) \
-            & occ_valid[:, None, :, :]
-        votes = close.any(axis=3).sum(axis=2).astype(jnp.int32)
+    # ------------------------------------------------------------------
+    def _vote_prefix_impl(self, fine_ptab, fine_low, fine_pos,
+                          bucket_ids, is_rc, samp_hash, samp_idx, seg_len):
+        """Prefix-accelerated variant of _vote_sorted_impl (preferred).
 
-        xoff = cand + cfg.read_len
-        key = jnp.where(cand_valid,
-                        votes * (1 << 18) + ((1 << 18) - 1 - xoff), -1)
-        best = jnp.argmax(key, axis=1)
-        best_votes = jnp.take_along_axis(votes, best[:, None], axis=1)[:, 0]
-        offset = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
-        any_cand = cand_valid.any(axis=1)
-        accept = (any_cand
-                  & (best_votes >= cfg.min_vote)
-                  & (offset >= 1))
-        return offset.astype(jnp.int32), best_votes, accept
+        The 2k-bit hash splits into a 12-bit prefix and low bits. The
+        segment [lo, hi) of slots with the query's prefix comes from TWO
+        fine_ptab gathers; a binary search over the uint16 fine_low array
+        (index.fine_search_steps steps — bounded by the largest prefix
+        segment in the index, typically ~log2(Lpos/4096)) finds the
+        lower bound; occurrences are the consecutive equal-low slots
+        (prefix+low = the exact hash, so no verification gathers at
+        all). ~6 small gathers per (pair, sample) instead of ~17x3
+        packed-row derivations. Results identical to _vote_sorted_impl.
+        """
+        cfg = self.cfg
+        k, p = cfg.query_seed, cfg.locator_samples
+        O = self.MAX_OCC
+        P = bucket_ids.shape[0]
+        lpos = fine_pos.shape[1]
+        low_bits = jnp.uint32(2 * k - 12)
+
+        tgt_hash = jnp.where(is_rc[:, None],
+                             revcomp_hash(samp_hash, k, xp=jnp), samp_hash)
+        tgt_idx = jnp.where(is_rc[:, None],
+                            seg_len[:, None] - k - samp_idx, samp_idx)
+        prefix = (tgt_hash >> low_bits).astype(jnp.int32)       # (P, p)
+        low = (tgt_hash & ((jnp.uint32(1) << low_bits) - 1)).astype(jnp.int32)
+
+        bid = bucket_ids[:, None]
+        lo = fine_ptab[bid, prefix]
+        seg_hi = fine_ptab[bid, prefix + 1]
+        hi = seg_hi
+        for _ in range(self.search_steps):
+            active = lo < hi
+            mid = (lo + hi) // 2
+            v = fine_low[bid, jnp.clip(mid, 0, lpos - 1)].astype(jnp.int32)
+            below = active & (v < low)
+            lo = jnp.where(below, mid + 1, lo)
+            hi = jnp.where(active & ~below, mid, hi)
+
+        occ_idx = lo[:, :, None] + jnp.arange(O, dtype=jnp.int32)  # (P,p,O)
+        occ_clamped = jnp.clip(occ_idx, 0, lpos - 1)
+        occ_low = fine_low[bid[:, :, None], occ_clamped].astype(jnp.int32)
+        occ_valid = (occ_idx < seg_hi[:, :, None]) & (occ_low == low[:, :, None])
+        occ_pos = jnp.where(occ_valid,
+                            fine_pos[bid[:, :, None], occ_clamped], 0)
+        prop = occ_pos - tgt_idx[:, :, None]
+        return self._tally(prop, occ_valid)
 
     # ------------------------------------------------------------------
     def prepare(self, codes: np.ndarray, quals: np.ndarray, lengths: np.ndarray):
@@ -295,7 +346,10 @@ class FineLocator:
             args = (jnp.asarray(_pad(bucket_ids)), jnp.asarray(_pad(is_rc)),
                     jnp.asarray(_pad(samp_hash)), jnp.asarray(_pad(samp_idx)),
                     jnp.asarray(_pad(seg_len, fill=1)))
-            if self.fine_pos is not None:
+            if self.fine_ptab is not None:
+                off, v, acc = self._vote_p(self.fine_ptab, self.fine_low,
+                                           self.fine_pos, *args)
+            elif self.fine_pos is not None:
                 off, v, acc = self._vote_s(self.fine_pos, self.buckets_packed, *args)
             else:
                 off, v, acc = self._vote(
