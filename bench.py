@@ -86,13 +86,7 @@ def main():
     pipe = BucketMapPipeline(index, batch_size=BATCH, pair_batch=BATCH, align=ALIGN)
     # warmup: compile all jit programs on a small prefix
     t0 = time.time()
-    warm = read_fastq(fastq_path)
-    import dataclasses
-    warm_small = dataclasses.replace(
-        warm, ids=warm.ids[:BATCH], codes=warm.codes[:BATCH],
-        quals=warm.quals[:BATCH], lengths=warm.lengths[:BATCH],
-        seq_ascii=warm.seq_ascii[:BATCH], qual_ascii=warm.qual_ascii[:BATCH])
-    pipe.map_reads(warm_small, os.path.join(CACHE, "warmup.sam"))
+    pipe.map_reads(batch.head(BATCH), os.path.join(CACHE, "warmup.sam"))
     log(f"[bench] warmup (compile) {time.time()-t0:.1f}s")
 
     sam_path = os.path.join(CACHE, f"out_{tag}{'_al' if ALIGN else ''}.sam")

@@ -20,16 +20,49 @@ from bucketmap_tpu.ops.encoding import _ASCII_TO_CODE
 
 @dataclasses.dataclass
 class ReadBatch:
-    ids: list[str]          # read names (without '@')
     codes: np.ndarray       # (n, max_len) uint8, 0-padded
     quals: np.ndarray       # (n, max_len) uint8 phred ranks, 0-padded
     lengths: np.ndarray     # (n,) int32
     seq_ascii: np.ndarray   # (n, max_len) uint8 raw sequence bytes (for SAM echo)
     qual_ascii: np.ndarray  # (n, max_len) uint8 raw quality bytes (for SAM echo)
+    # read names kept as one concatenated byte buffer + offsets — python
+    # string lists at millions of reads cost seconds on the host path;
+    # the SAM formatter consumes the buffers directly
+    ids_buf: np.ndarray     # (total_bytes,) uint8 concatenated names
+    id_offsets: np.ndarray  # (n+1,) int64
+    _ids: list | None = None
+
+    @property
+    def ids(self) -> list[str]:
+        """Materialized name list (lazy; prefer ids_buf/id_offsets)."""
+        if self._ids is None:
+            raw = self.ids_buf.tobytes()
+            off = self.id_offsets
+            self._ids = [raw[off[i]:off[i + 1]].decode()
+                         for i in range(len(off) - 1)]
+        return self._ids
 
     @property
     def num_reads(self) -> int:
-        return len(self.ids)
+        return len(self.lengths)
+
+    def head(self, n: int) -> "ReadBatch":
+        """First-n-reads view (for warmup batches)."""
+        return ReadBatch(codes=self.codes[:n], quals=self.quals[:n],
+                         lengths=self.lengths[:n],
+                         seq_ascii=self.seq_ascii[:n],
+                         qual_ascii=self.qual_ascii[:n],
+                         ids_buf=self.ids_buf,
+                         id_offsets=self.id_offsets[: n + 1])
+
+    @staticmethod
+    def pack_ids(ids: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        enc = [i.encode() for i in ids]
+        off = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum([len(e) for e in enc], out=off[1:])
+        buf = np.frombuffer(b"".join(enc), np.uint8) if enc else \
+            np.zeros(0, np.uint8)
+        return buf, off
 
 
 def read_fastq(path: str | os.PathLike, max_len: int | None = None,
@@ -40,10 +73,11 @@ def read_fastq(path: str | os.PathLike, max_len: int | None = None,
         from bucketmap_tpu.io import native
         res = native.parse_fastq_bytes(data, max_len=max_len)
         if res is not None:
-            ids, codes, quals, lengths, seq_ascii, qual_ascii = res
-            return ReadBatch(ids=ids, codes=codes, quals=quals,
+            ids_buf, id_offsets, codes, quals, lengths, seq_ascii, qual_ascii = res
+            return ReadBatch(codes=codes, quals=quals,
                              lengths=lengths, seq_ascii=seq_ascii,
-                             qual_ascii=qual_ascii)
+                             qual_ascii=qual_ascii, ids_buf=ids_buf,
+                             id_offsets=id_offsets)
     if data.endswith(b"\n"):
         data = data[:-1]
     # Line index via newline scan (no per-read python loop for the payload).
@@ -75,10 +109,18 @@ def read_fastq(path: str | os.PathLike, max_len: int | None = None,
     codes = _ASCII_TO_CODE[seq_ascii]
     quals = np.where(mask, qual_ascii.astype(np.int16) - 33, 0).astype(np.uint8)
 
-    # ids: per-read header slices (python loop over headers only)
-    ids = [
-        data[s:e].decode().rstrip("\r").lstrip("@")
-        for s, e in zip(starts[0::4], ends[0::4])
-    ]
-    return ReadBatch(ids=ids, codes=codes, quals=quals, lengths=lengths,
-                     seq_ascii=seq_ascii, qual_ascii=qual_ascii)
+    # ids: concatenated header bytes (strip '@' and trailing '\r')
+    id_s = starts[0::4] + 1
+    id_e = ends[0::4].copy()
+    crl = buf[np.maximum(id_e - 1, 0)] == ord("\r")
+    id_e[crl] -= 1
+    id_lens = id_e - id_s
+    id_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(id_lens, out=id_offsets[1:])
+    icol = np.arange(int(id_lens.max()) if n else 0)
+    imask = icol[None, :] < id_lens[:, None]
+    gath = np.where(imask, buf[np.where(imask, id_s[:, None] + icol[None, :], 0)], 0)
+    ids_buf = gath[imask].astype(np.uint8)
+    return ReadBatch(codes=codes, quals=quals, lengths=lengths,
+                     seq_ascii=seq_ascii, qual_ascii=qual_ascii,
+                     ids_buf=ids_buf, id_offsets=id_offsets)

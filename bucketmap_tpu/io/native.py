@@ -64,9 +64,10 @@ def available() -> bool:
 
 
 def parse_fastq_bytes(data: bytes, max_len: int | None = None):
-    """Native FASTQ parse. Returns the same tuple shape the numpy parser
-    builds: (ids list, codes, quals, lengths, seq_ascii, qual_ascii) or
-    None when the native library is unavailable."""
+    """Native FASTQ parse -> (ids_buf, id_offsets, codes, quals, lengths,
+    seq_ascii, qual_ascii), or None when the native library is
+    unavailable. Read names stay as one byte buffer + offsets (no python
+    string list)."""
     lib = _load()
     if lib is None:
         return None
@@ -88,10 +89,8 @@ def parse_fastq_bytes(data: bytes, max_len: int | None = None):
                               len(ids_buf))
     if r < 0:
         raise ValueError("malformed FASTQ (native parser, pass 2)")
-    raw = ids_buf[:r].tobytes()
-    ids = [raw[id_offsets[i]:id_offsets[i + 1]].decode()
-           for i in range(n)]
-    return ids, codes, quals, lengths, seq_ascii, qual_ascii
+    return (ids_buf[:r].copy(), id_offsets, codes, quals, lengths,
+            seq_ascii, qual_ascii)
 
 
 def format_sam_records(qid, id_offsets, ids_buf, flag, rid, rname_offsets,

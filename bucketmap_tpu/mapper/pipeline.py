@@ -372,9 +372,8 @@ class BucketMapPipeline:
 
         bucket_names = self.index.bucket_names
         if native.available() and len(rec_read):
-            ids_buf = "".join(batch.ids).encode()
-            id_offsets = np.zeros(len(batch.ids) + 1, np.int64)
-            np.cumsum([len(i.encode()) for i in batch.ids], out=id_offsets[1:])
+            ids_buf = batch.ids_buf
+            id_offsets = batch.id_offsets
             # rname per bucket -> its reference's (truncated) name
             ref_short = [n.split(" ")[0].encode() for n in self.index.ref_names]
             rnames_buf = b"".join(ref_short)
@@ -390,7 +389,7 @@ class BucketMapPipeline:
                 np.cumsum([len(c) for c in rec_cigar], out=cigar_offsets[1:])
             rr = np.asarray(rec_read, np.int32)
             out = native.format_sam_records(
-                rr, id_offsets, np.frombuffer(ids_buf, np.uint8),
+                rr, id_offsets, np.ascontiguousarray(ids_buf, np.uint8),
                 np.asarray(rec_flag, np.int32), rid.astype(np.int32),
                 rname_offsets, np.frombuffer(rnames_buf, np.uint8),
                 np.asarray(rec_pos0, np.int64), np.asarray(rec_mapq, np.int32),
