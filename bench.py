@@ -78,6 +78,11 @@ def main():
         sim.generate(CACHE, f"reads_{tag}", NUM_READS)
 
     import jax
+    # persistent XLA compilation cache: the fused map step takes minutes
+    # to compile for the remote backend; cache it across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE, "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     log(f"[bench] devices: {jax.devices()}")
     t0 = time.time()
     batch = read_fastq(fastq_path)

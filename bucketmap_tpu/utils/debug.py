@@ -1,0 +1,37 @@
+"""Kernel-validation utilities — the TPU equivalent of the reference's
+(absent) sanitizer story (SURVEY §5 'race detection / sanitizers':
+jit-disable + checkify/debug_nans for kernel validation).
+
+  * ``validation_mode()`` — context manager enabling ``jax_debug_nans``
+    and ``jax_disable_jit`` so every op runs eagerly with NaN checks;
+    use to localize a miscompiling/misbehaving kernel.
+  * ``checked(fn)`` — wraps a jitted function with ``checkify`` so
+    out-of-bounds indexing and NaN/div checks become checkable errors
+    instead of silent clamps.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+
+@contextlib.contextmanager
+def validation_mode(disable_jit: bool = True):
+    import jax
+
+    with jax.debug_nans(True):
+        if disable_jit:
+            with jax.disable_jit():
+                yield
+        else:
+            yield
+
+
+def checked(fn, *, errors=None):
+    """checkify-wrap fn: returns (error, result); call error.throw() to
+    raise on failures. Adds index OOB + float checks by default."""
+    from jax.experimental import checkify
+
+    errs = errors if errors is not None else (
+        checkify.index_checks | checkify.float_checks)
+    return checkify.checkify(fn, errors=errs)
