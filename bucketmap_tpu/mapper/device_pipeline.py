@@ -24,6 +24,7 @@ import numpy as np
 
 from bucketmap_tpu.index.builder import BucketIndex
 from bucketmap_tpu.ops.coarse import CoarseMapper
+from bucketmap_tpu.ops.encoding import pack_reads, unpack_reads
 from bucketmap_tpu.ops.vote import FineLocator
 
 
@@ -36,6 +37,7 @@ class DeviceMapper:
         self.cfg = index.config
         self.batch_size = batch_size
         self.vote_chunk = vote_chunk
+        self._padded_read_len = index.config.read_len
         p = batch_size * pairs_per_read
         self.pair_budget = (p + vote_chunk - 1) // vote_chunk * vote_chunk
         self.coarse = CoarseMapper(index)
@@ -68,19 +70,26 @@ class DeviceMapper:
 
     # ------------------------------------------------------------------
     def _step_impl(self, qgram_words, kmer_to_row, dist_tab, c_sample_tab,
-                   vote_tabs, f_sample_tab, codes, quals, lengths):
-        """vote_tabs is a tuple pytree whose layout matches the available
+                   vote_tabs, f_sample_tab, packed_reads):
+        """packed_reads: (B, cw+qw+1) uint32 transfer layout (2-bit codes
+        + quality-gate bitmask + length; encoding.pack_reads) — one
+        array = one host->device transfer on the latency-bound link.
+
+        vote_tabs is a tuple pytree whose layout matches the available
         fine index: (fine_ptab, fine_low, fine_pos) for the prefix path,
         (fine_pos, buckets_packed) for the plain positional path, else
         (buckets_packed, bucket_lengths) for the packed-scan path."""
         cfg = self.cfg
-        B = codes.shape[0]
+        B = packed_reads.shape[0]
         C = cfg.max_candidate_buckets
         P = self.pair_budget
+        codes, qual_ok, lengths = unpack_reads(
+            packed_reads, self._padded_read_len, cfg.query_seed, xp=jnp)
         cand, counts, _ = self.coarse._query_impl(
-            qgram_words, kmer_to_row, dist_tab, c_sample_tab, codes, quals, lengths)
+            qgram_words, kmer_to_row, dist_tab, c_sample_tab, codes, qual_ok,
+            lengths)
         samp_hash, samp_idx = self.fine._prepare_impl(
-            f_sample_tab, codes, quals, lengths)
+            f_sample_tab, codes, qual_ok, lengths)
 
         # ---- compact valid candidate lanes into the pair budget ----------
         flat = cand.reshape(-1)                       # (B*2*C,)
@@ -141,14 +150,19 @@ class DeviceMapper:
 
     # ------------------------------------------------------------------
     def step(self, codes: np.ndarray, quals: np.ndarray, lengths: np.ndarray):
-        """Async dispatch; returns device outputs (don't block)."""
-        codes = jnp.asarray(codes)
-        quals = jnp.asarray(quals)
-        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        """Async dispatch; returns device outputs (don't block).
+
+        Reads are packed host-side into the compact transfer layout
+        (encoding.pack_reads) — ~5x fewer bytes over the link."""
+        packed = pack_reads(codes, quals, np.asarray(lengths),
+                            self.cfg.query_seed,
+                            self.cfg.mapper_min_kmer_quality)
+        return self.step_packed(packed)
+
+    def step_packed(self, packed: np.ndarray):
+        packed = jnp.asarray(packed)
         if self._data_sharding is not None:
-            codes = jax.device_put(codes, self._data_sharding2)
-            quals = jax.device_put(quals, self._data_sharding2)
-            lengths = jax.device_put(lengths, self._data_sharding)
+            packed = jax.device_put(packed, self._data_sharding2)
         if self.fine.fine_ptab is not None:
             vote_tabs = (self.fine.fine_ptab, self.fine.fine_low,
                          self.fine.fine_pos)
@@ -158,4 +172,4 @@ class DeviceMapper:
             vote_tabs = (self.fine.buckets_packed, self.fine.bucket_lengths)
         return self._step(
             *self.coarse._index_args(), vote_tabs, self.fine.sample_tab,
-            codes, quals, lengths)
+            packed)

@@ -83,16 +83,27 @@ class CoarseMapper:
         # index arrays are passed as jit ARGUMENTS (not closure captures):
         # captured arrays become HLO constants, which recompile on every
         # index change and blow up remote-compile payloads.
-        self._query = jax.jit(self._query_impl)
+        self._query = jax.jit(self._query_from_quals_impl)
 
     def _index_args(self):
         dist_tab = self.dist_by_kmer if self.dist_by_kmer is not None else self.zeros_ge
         return (self.qgram_words, self.kmer_to_row, dist_tab, self.sample_tab)
 
     # -------------------------------------------------------------------
+    def _query_from_quals_impl(self, qgram_words, kmer_to_row, dist_tab,
+                               sample_tab, codes, quals, lengths):
+        """Compatibility wrapper: derive the quality-gate mask from raw
+        phred ranks on device, then run the mask-based query."""
+        qual_ok = window_quality_sums(quals, self.cfg.query_seed, xp=jnp) \
+            >= self.cfg.mapper_min_kmer_quality
+        return self._query_impl(qgram_words, kmer_to_row, dist_tab,
+                                sample_tab, codes, qual_ok, lengths)
+
     def _query_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
-                    codes: jax.Array, quals: jax.Array, lengths: jax.Array):
-        """codes/quals: (B, L) uint8; lengths: (B,) int32.
+                    codes: jax.Array, qual_ok: jax.Array, lengths: jax.Array):
+        """codes: (B, L) uint8; qual_ok: (B, L-k+1) bool (the quality gate
+        sum(qual ranks over k) >= mapper_min_kmer_quality, precomputable
+        host-side — see encoding.pack_reads); lengths: (B,) int32.
 
         Returns (candidates (B, 2, C) int32 -1-padded ascending,
                  counts (B, 2) int32, num_good (B,) int32).
@@ -109,7 +120,6 @@ class CoarseMapper:
         qbits = jnp.uint32(4**q - 1)
 
         kmers = kmer_hashes(codes, k, xp=jnp)                       # (B, K)
-        qsums = window_quality_sums(quals, k, xp=jnp)               # (B, K)
         pos = jnp.arange(K, dtype=jnp.int32)
         valid = pos[None, :] < (lengths[:, None] - (k - 1))
 
@@ -123,7 +133,7 @@ class CoarseMapper:
                 gram = (kmers >> jnp.uint32(2 * i)) & qbits
                 disting = disting | (dist_tab[gram] > 0)
 
-        good = valid & disting & (qsums >= cfg.mapper_min_kmer_quality)
+        good = valid & disting & qual_ok
         num_good = good.sum(axis=1).astype(jnp.int32)
         give_up = num_good < min_good_kmers(cfg)
 

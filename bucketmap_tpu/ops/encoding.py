@@ -121,6 +121,53 @@ def window_quality_sums(qual_ranks, k: int, xp=np):
     return cs[..., k:] - cs[..., : -k]
 
 
+def read_pack_words(read_len: int, k: int) -> tuple[int, int]:
+    """(code_words, qmask_words) per read in the packed transfer layout."""
+    cw = (read_len + 15) // 16
+    qw = (read_len - k + 1 + 31) // 32
+    return cw, qw
+
+
+def pack_reads(codes: np.ndarray, quals: np.ndarray, lengths: np.ndarray,
+               k: int, min_kmer_quality: int) -> np.ndarray:
+    """Host-side transfer packing: (B, cw + qw + 1) uint32 holding
+    [2-bit codes | per-k-window quality-gate bitmask | length].
+
+    The remote-TPU link is latency/bandwidth bound (~25 ms + ~30 MB/s);
+    raw codes+quals cost ~2 B/base while the device only needs the bases
+    and the boolean gate sum(qual ranks over k) >= min_kmer_quality —
+    0.19 B/base packed, a ~5x transfer cut. One array = one transfer.
+    """
+    B, L = codes.shape
+    cw, qw = read_pack_words(L, k)
+    out = np.empty((B, cw + qw + 1), dtype=np.uint32)
+    out[:, :cw] = pack_2bit(codes)
+    qok = window_quality_sums(quals, k) >= min_kmer_quality   # (B, K)
+    K = L - k + 1
+    pad = (-K) % 32
+    if pad:
+        qok = np.concatenate(
+            [qok, np.zeros((B, pad), dtype=bool)], axis=1)
+    bits = qok.reshape(B, qw, 32).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)[None, None, :]
+    out[:, cw:cw + qw] = np.bitwise_or.reduce(bits << shifts, axis=2)
+    out[:, cw + qw] = lengths.astype(np.uint32)
+    return out
+
+
+def unpack_reads(packed, read_len: int, k: int, xp=np):
+    """Device-side inverse of pack_reads -> (codes (B, L), qual_ok (B, K)
+    bool, lengths (B,) int32)."""
+    cw, qw = read_pack_words(read_len, k)
+    K = read_len - k + 1
+    codes = unpack_2bit(packed[:, :cw], read_len, xp=xp).astype(xp.uint8)
+    shifts = xp.arange(32, dtype=xp.uint32)
+    bits = (packed[:, cw:cw + qw, None] >> shifts[None, None, :]) & xp.uint32(1)
+    qual_ok = bits.reshape(packed.shape[0], qw * 32)[:, :K] != 0
+    lengths = packed[:, cw + qw].astype(xp.int32)
+    return codes, qual_ok, lengths
+
+
 def qgram_of_kmer(kmer_hash, shift: int, q: int, xp=np):
     """The q-gram at position `shift` from the low end of a k-mer hash:
     (h >> 2*shift) & (4^q - 1)  (q_gram_mapper.h:403)."""

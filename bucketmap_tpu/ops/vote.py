@@ -77,7 +77,7 @@ class FineLocator:
         self.sample_tab = jnp.asarray(sample_table(cfg.locator_samples, cfg.read_len))
         # index arrays are jit arguments, not closure captures (capture
         # would embed them as HLO constants; see ops/coarse.py)
-        self._prepare = jax.jit(self._prepare_impl)
+        self._prepare = jax.jit(self._prepare_from_quals_impl)
         self._vote = jax.jit(self._vote_impl)
         self._vote_s = jax.jit(self._vote_sorted_impl)
         self._vote_p = jax.jit(self._vote_prefix_impl)
@@ -93,12 +93,18 @@ class FineLocator:
         self._packed_dev = v
 
     # ------------------------------------------------------------------
-    def _prepare_impl(self, sample_tab, codes, quals, lengths):
+    def _prepare_from_quals_impl(self, sample_tab, codes, quals, lengths):
+        """Compatibility wrapper over raw phred ranks (see coarse)."""
+        qual_ok = window_quality_sums(quals, self.cfg.query_seed, xp=jnp) \
+            >= self.cfg.mapper_min_kmer_quality
+        return self._prepare_impl(sample_tab, codes, qual_ok, lengths)
+
+    def _prepare_impl(self, sample_tab, codes, qual_ok, lengths):
         """Sample locator k-mers per segment (_prepare_read_query,
         bucket_locator.h:292-347): quality gate only (no
         distinguishability); if no k-mer passes, use all of them.
 
-        codes/quals: (S, read_len); lengths: (S,) segment lengths.
+        codes: (S, read_len); qual_ok: (S, K) bool gate; lengths: (S,).
         Returns samp_hash (S, p) uint32, samp_idx (S, p) int32.
         """
         cfg = self.cfg
@@ -106,10 +112,9 @@ class FineLocator:
         S, L = codes.shape
         K = L - k + 1
         kmers = kmer_hashes(codes, k, xp=jnp)
-        qsums = window_quality_sums(quals, k, xp=jnp)
         pos = jnp.arange(K, dtype=jnp.int32)
         valid = pos[None, :] < (lengths[:, None] - (k - 1))
-        good = valid & (qsums >= cfg.mapper_min_kmer_quality)
+        good = valid & qual_ok
         num_good = good.sum(axis=1).astype(jnp.int32)
         # fallback: all valid k-mers when none pass (bucket_locator.h:330-332)
         use_all = num_good == 0
