@@ -66,6 +66,10 @@ def main(argv=None) -> int:
     p_idx.add_argument("--no-fine-index", action="store_true",
                        help="skip the positional fine index (slower fine "
                             "stage, smaller artifact)")
+    p_idx.add_argument("--force", action="store_true",
+                       help="overwrite an existing index artifact (the "
+                            "default refuses, like the reference's "
+                            "utils.h:104-144 guards)")
     _add_param_flags(p_idx)
 
     p_map = sub.add_parser("map", help="map reads to SAM")
@@ -110,13 +114,24 @@ def main(argv=None) -> int:
         from bucketmap_tpu.index import builder
 
         cfg = _config_from(args)
+        # refuse to clobber BEFORE the (expensive) build, like the
+        # reference's pre-index guard (bucket_indexer.h:178-186)
+        base = os.path.join(args.index_dir, args.index_indicator)
+        if not args.force and os.path.exists(base + ".bmtpu.json"):
+            print(f"[ERROR]\t\tThe index file already exists: "
+                  f"{base}.bmtpu.json (use --force to overwrite).",
+                  file=sys.stderr)
+            return 1
         t0 = time.time()
         index = builder.build_index_from_fasta(args.genome, cfg, verbose=True)
         if not args.no_fine_index:
             builder.build_fine_index(index)
-        builder.save_index(index, args.index_dir, args.index_indicator)
+        builder.save_index(index, args.index_dir, args.index_indicator,
+                           overwrite=args.force)
         if args.export_reference_format:
-            builder.export_reference_format(index, args.index_dir, args.index_indicator)
+            builder.export_reference_format(index, args.index_dir,
+                                            args.index_indicator,
+                                            overwrite=args.force)
         print(f"[BENCHMARK]\tElapsed time for creating and storing index files: "
               f"{time.time()-t0:.2f} s ({index.n_buckets} buckets).")
         return 0

@@ -284,11 +284,21 @@ def build_index_from_fasta(path: str | os.PathLike, cfg: MapperConfig,
 
 # ---- on-disk artifact -------------------------------------------------------
 
-def save_index(index: BucketIndex, directory: str | os.PathLike, indicator: str) -> None:
+def save_index(index: BucketIndex, directory: str | os.PathLike, indicator: str,
+               overwrite: bool = False) -> None:
     """Native artifact: one .npz + json meta. This is the 'checkpoint' the
-    reference keeps as .qgram/.bucket_id/.kmers_index (§5 of SURVEY)."""
+    reference keeps as .qgram/.bucket_id/.kmers_index (§5 of SURVEY).
+
+    Refuses to clobber an existing artifact unless overwrite=True — the
+    reference's check_extension_in/check_filename_in guard semantics
+    (utils.h:104-144: an existing index file aborts the write so a
+    previously built index is never silently destroyed)."""
     os.makedirs(directory, exist_ok=True)
     base = os.path.join(directory, indicator)
+    if not overwrite and os.path.exists(base + ".bmtpu.json"):
+        raise FileExistsError(
+            f"index artifact already exists: {base}.bmtpu.json "
+            "(pass overwrite=True to replace it; utils.h:104-144 semantics)")
     arrays = dict(
         bucket_ref=index.bucket_ref, bucket_ordinal=index.bucket_ordinal,
         bucket_lengths=index.bucket_lengths, kmer_to_row=index.kmer_to_row,
@@ -347,14 +357,23 @@ def load_index(directory: str | os.PathLike, indicator: str) -> BucketIndex:
 # ---- reference-format interop (.qgram / .bucket_id / .kmers_index) ----------
 
 def export_reference_format(index: BucketIndex, directory: str | os.PathLike,
-                            indicator: str) -> None:
+                            indicator: str, overwrite: bool = False) -> None:
     """Write the reference's exact on-disk index formats
     (bucket_indexer.h:76-127): .qgram = (N+7)/8 packed bytes per sampled
     q-gram row (bit j of byte j>>3 at j&7 — identical to our
     little-endian uint32 words); .bucket_id = one full record id per
-    bucket; .kmers_index = 4^q newline-separated ints."""
+    bucket; .kmers_index = 4^q newline-separated ints.
+
+    Like the reference (utils.h:104-144 via bucket_indexer.h:178-186),
+    refuses to overwrite existing .qgram/.bucket_id/.kmers_index files."""
     os.makedirs(directory, exist_ok=True)
     base = os.path.join(directory, indicator)
+    if not overwrite:
+        for ext in (".qgram", ".bucket_id", ".kmers_index"):
+            if os.path.exists(base + ext):
+                raise FileExistsError(
+                    f"index file already exists: {base + ext} "
+                    "(utils.h:104-144 refuses to overwrite)")
     n = index.n_buckets
     row_bytes = (n + 7) // 8
     with open(base + ".qgram", "wb") as f:

@@ -39,25 +39,39 @@ def filter_best_locations(locs: list[Location], read_length: int,
     """Literal port of _filter_best_locations (bucket_locator.h:350-405):
     merge votes onto ALL earlier proposals with the same (bucket, strand)
     within +-read_len*indel_rate (std::map iteration = sorted key order),
-    then keep every location with the max total votes."""
+    then keep every location with the max total votes.
+
+    A sorted key list + bisect replaces the reference's std::map scan, so
+    repeat-heavy reads with many locations stay O(n log n) — the +=
+    merge is order-independent, result identical."""
+    import bisect
+
     loc_votes: dict[tuple[int, int, bool], int] = {}
+    keys: list[tuple[int, int, bool]] = []   # kept sorted
     for loc in locs:
         key = (loc.bucket, loc.offset, loc.is_orig)
         if not loc_votes:
             loc_votes[key] = loc.votes
+            keys.append(key)
         else:
             lo = int(loc.offset - read_length * indel_rate)
             hi = int(loc.offset + read_length * indel_rate)
+            a = bisect.bisect_left(keys, (loc.bucket, lo, False))
+            b = bisect.bisect_right(keys, (loc.bucket, hi, True))
             found = False
-            for k in sorted(loc_votes):
-                if k[0] == loc.bucket and lo <= k[1] <= hi and k[2] == loc.is_orig:
+            for k in keys[a:b]:
+                if lo <= k[1] <= hi and k[2] == loc.is_orig:
                     loc_votes[k] += loc.votes
                     found = True
             if not found:
-                loc_votes[key] = loc.votes
+                if key in loc_votes:
+                    loc_votes[key] += loc.votes
+                else:
+                    loc_votes[key] = loc.votes
+                    bisect.insort(keys, key)
     best: list[Location] = []
     max_votes = 0
-    for k in sorted(loc_votes):
+    for k in keys:
         v = loc_votes[k]
         if v > max_votes:
             best, max_votes = [], v

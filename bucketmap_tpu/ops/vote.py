@@ -17,20 +17,20 @@ kernels produce identical results:
     (index/builder.py:build_fine_index) — O(p log L) tiny gathers,
     preferred whenever the index carries the sorted arrays.
 
-Both then vote among the <= samples*MAX_OCC proposed starts:
+Both feed the extracted occurrences into _tally, a literal device port
+of _find_offset's
+sequential semantics (bucket_locator.h:227-290): occurrences are
+processed sample-by-sample (reverse sample order for revcomp pairs,
+:235-236); while the counter is empty a sample's occurrences each
+propose their position (exact-key merge only); afterwards every
+occurrence increments ALL existing proposals within +-allowed_indel
+(so votes can exceed num_samples), creating a new proposal only when
+none is close. Winner = max votes then smallest position (:281-283).
 
-    votes[x] = #{ j : exists occurrence of j proposing y, |y-x| <= indel }
-
-winner = max votes, then smallest x (the reference's max_element
-comparator, bucket_locator.h:281-283); accepted iff votes >=
-locator_samples - allowed_mismatch and x >= 1 (offset>0 acceptance,
-bucket_locator.h:674).
-
-Divergence note: when a sampled k-mer occurs several times within
-+-indel of the same proposal the reference counts each occurrence as a
-vote (can exceed num_samples); we count each sample at most once.
-Positions only differ on tandem-repetitive windows; acceptance and
-MAPQ agree except there.
+Remaining divergences (tandem repeats only): (a) occurrences are
+iterated in ascending position order, where the reference's
+unordered_multimap::equal_range order is implementation-defined;
+(b) at most MAX_OCC occurrences per sample are considered.
 
 Reverse-complement pairs query the reverse-complemented sample hash at
 mirrored index seg_len - k - idx (bucket_locator.h:236-243).
@@ -134,29 +134,69 @@ class FineLocator:
     # bucket ~1.02 times on average; > MAX_OCC only in tandem repeats)
     MAX_OCC = 8
 
-    def _tally(self, prop, occ_valid):
-        """Vote among proposed segment starts and pick the winner.
+    def _tally(self, prop, occ_valid, is_rc):
+        """Sequential vote accumulation — literal port of _find_offset
+        (bucket_locator.h:227-290).
 
-        prop/occ_valid: (P, p, O). Candidate c gets one vote from each
-        sample j with some occurrence proposing within +-indel of c;
-        winner = max votes then smallest start (bucket_locator.h:281-283);
-        accepted iff votes >= min_vote and start >= 1 (:284,674)."""
+        prop/occ_valid: (P, p, O) proposed segment starts per (sample,
+        occurrence), occurrences in ascending position order. Proposal
+        slot s = j*O + o is reserved for occurrence (j, o); it becomes
+        live only when that occurrence creates a new proposal. Samples
+        are processed in order (reversed for revcomp pairs, :235-236);
+        within the still-empty counter a sample's occurrences merge on
+        exact position only (vote_counter[position]++, :247-252); once
+        non-empty, each occurrence increments every live proposal within
+        +-allowed_indel, else creates its own (:254-271). Winner = max
+        votes then smallest position (:281-283); accepted iff votes >=
+        num_samples - allowed_mismatch and position >= 1 (:284, :674)."""
         cfg = self.cfg
         P, p, O = prop.shape
+        S = p * O
         indel = cfg.allowed_indel
-        cand = prop.reshape(P, p * O)
-        cand_valid = occ_valid.reshape(P, p * O)
-        close = (jnp.abs(cand[:, :, None, None] - prop[:, None, :, :]) <= indel) \
-            & occ_valid[:, None, :, :]                            # (P,pO,p,O)
-        votes = close.any(axis=3).sum(axis=2).astype(jnp.int32)   # (P, pO)
-        xoff = cand + cfg.read_len  # make non-negative for the key
-        key = jnp.where(cand_valid,
-                        votes * (1 << 18) + ((1 << 18) - 1 - xoff), -1)
+        # revcomp pairs iterate samples last-to-first; creation order is
+        # observable, so flip the sample axis for those rows
+        prop = jnp.where(is_rc[:, None, None], prop[:, ::-1, :], prop)
+        occ_valid = jnp.where(is_rc[:, None, None], occ_valid[:, ::-1, :],
+                              occ_valid)
+        flat_prop = prop.reshape(P, S)
+        flat_valid = occ_valid.reshape(P, S)
+        slot_ids = jnp.arange(S, dtype=jnp.int32)
+
+        def sample_body(j, state):
+            pos_arr, votes, created = state
+            # branch chosen ONCE per sample (:247), before its occurrences
+            counter_empty = ~created.any(axis=1)                   # (P,)
+            tol = jnp.where(counter_empty, 0, indel)               # (P,)
+            for o in range(O):
+                idx = j * O + o
+                pcur = jax.lax.dynamic_slice_in_dim(flat_prop, idx, 1,
+                                                    axis=1)[:, 0]
+                val = jax.lax.dynamic_slice_in_dim(flat_valid, idx, 1,
+                                                   axis=1)[:, 0]
+                close = created & (jnp.abs(pos_arr - pcur[:, None])
+                                   <= tol[:, None])
+                any_close = close.any(axis=1)
+                votes = votes + (close & val[:, None]).astype(jnp.int32)
+                create = val & ~any_close
+                newslot = (slot_ids == idx)[None, :]
+                hit = create[:, None] & newslot
+                pos_arr = jnp.where(hit, pcur[:, None], pos_arr)
+                votes = jnp.where(hit, 1, votes)
+                created = created | hit
+            return pos_arr, votes, created
+
+        init = (jnp.zeros((P, S), jnp.int32), jnp.zeros((P, S), jnp.int32),
+                jnp.zeros((P, S), bool))
+        pos_arr, votes, created = jax.lax.fori_loop(0, p, sample_body, init)
+
+        xoff = pos_arr + cfg.read_len           # >= 0 (pos >= -read_len)
+        # votes <= p*O + 1 and xoff < 2^18, so the key fits int32
+        key = jnp.where(created,
+                        votes * (1 << 19) + ((1 << 19) - 1 - xoff), -1)
         best = jnp.argmax(key, axis=1)
         best_votes = jnp.take_along_axis(votes, best[:, None], axis=1)[:, 0]
-        offset = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
-        any_cand = cand_valid.any(axis=1)
-        accept = (any_cand
+        offset = jnp.take_along_axis(pos_arr, best[:, None], axis=1)[:, 0]
+        accept = (created.any(axis=1)
                   & (best_votes >= cfg.min_vote)
                   & (offset >= 1))
         return offset.astype(jnp.int32), best_votes, accept
@@ -210,7 +250,7 @@ class FineLocator:
         occ_pos = jnp.where(occ_valid, lpos - occ_score, 0)
         # proposed segment starts x = occurrence - sample index in segment
         prop = occ_pos - tgt_idx[:, :, None]                      # (P, p, O)
-        return self._tally(prop, occ_valid)
+        return self._tally(prop, occ_valid, is_rc)
 
     # ------------------------------------------------------------------
     def _vote_sorted_impl(self, fine_pos, buckets_packed,
@@ -276,7 +316,7 @@ class FineLocator:
         occ_valid = h_o == tgt_hash[:, :, None]
         occ_pos = jnp.where(occ_valid, occ_pos_raw, 0)
         prop = occ_pos - tgt_idx[:, :, None]
-        return self._tally(prop, occ_valid)
+        return self._tally(prop, occ_valid, is_rc)
 
     # ------------------------------------------------------------------
     def _vote_prefix_impl(self, fine_ptab, fine_low, fine_pos,
@@ -326,7 +366,7 @@ class FineLocator:
         occ_pos = jnp.where(occ_valid,
                             fine_pos[bid[:, :, None], occ_clamped], 0)
         prop = occ_pos - tgt_idx[:, :, None]
-        return self._tally(prop, occ_valid)
+        return self._tally(prop, occ_valid, is_rc)
 
     # ------------------------------------------------------------------
     def prepare(self, codes: np.ndarray, quals: np.ndarray, lengths: np.ndarray):

@@ -248,3 +248,159 @@ def random_genome(length: int, seed: int = 0, n_refs: int = 1,
         codes = rng.randint(0, 4, size=per).astype(np.uint8)
         recs.append(FastaRecord(id=f"{name_prefix}_{i}", codes=codes))
     return recs
+
+
+def repeat_genome(length: int, seed: int = 0, n_refs: int = 1,
+                  dup_frac: float = 0.08, mobile_frac: float = 0.04,
+                  tandem_frac: float = 0.01, divergence: float = 0.02,
+                  name_prefix: str = "synthrep") -> list[FastaRecord]:
+    """Synthetic genome with repeat structure (a uniform-random genome is
+    too easy: 1.00006 candidate pairs/read vs. the reference's 1.14-2.7
+    locations/read on real genomes, benchmark/README.md:178).
+
+    Three repeat classes layered onto a random backbone:
+      * segmental duplications: ~dup_frac of the genome overwritten with
+        copies of 2-20 kb segments from elsewhere, each copy mutated at
+        `divergence` per-base (like recent SDs);
+      * interspersed mobile elements: a small library of 300-3000 bp
+        elements pasted many times at `divergence` (LINE/SINE-like) —
+        the main driver of multi-mapping reads;
+      * short tandem arrays: 2-100 bp units tiled into 0.2-2 kb arrays
+        (microsatellite-like) — stresses occurrence multiplicity.
+    """
+    rng = np.random.RandomState(seed)
+    per = length // n_refs
+
+    def mutate(seg: np.ndarray) -> np.ndarray:
+        m = rng.random_sample(len(seg)) < divergence
+        if m.any():
+            seg = seg.copy()
+            # shift by 1..3 guarantees a different base
+            seg[m] = (seg[m] + rng.randint(1, 4, int(m.sum()))) % 4
+        return seg
+
+    # mobile-element library shared across refs (elements transpose
+    # genome-wide)
+    n_elems = 8
+    elem_lens = rng.randint(300, 3001, n_elems)
+    elems = [rng.randint(0, 4, L).astype(np.uint8) for L in elem_lens]
+
+    recs = []
+    for i in range(n_refs):
+        codes = rng.randint(0, 4, size=per).astype(np.uint8)
+
+        covered = 0
+        target = mobile_frac * per
+        while covered < target:
+            e = elems[rng.randint(n_elems)]
+            if rng.randint(2):
+                e = revcomp_codes(e)
+            at = rng.randint(0, per - len(e))
+            codes[at : at + len(e)] = mutate(e)
+            covered += len(e)
+
+        covered = 0
+        target = dup_frac * per
+        while covered < target:
+            seg_len = int(rng.randint(2000, 20001))
+            src = rng.randint(0, per - seg_len)
+            dst = rng.randint(0, per - seg_len)
+            seg = codes[src : src + seg_len].copy()
+            if rng.randint(2):
+                seg = revcomp_codes(seg)
+            codes[dst : dst + seg_len] = mutate(seg)
+            covered += seg_len
+
+        covered = 0
+        target = tandem_frac * per
+        while covered < target:
+            unit_len = int(rng.randint(2, 101))
+            arr_len = int(rng.randint(200, 2001))
+            unit = rng.randint(0, 4, unit_len).astype(np.uint8)
+            at = rng.randint(0, per - arr_len)
+            codes[at : at + arr_len] = np.tile(
+                unit, arr_len // unit_len + 1)[:arr_len]
+            covered += arr_len
+
+        recs.append(FastaRecord(id=f"{name_prefix}_{i}", codes=codes))
+    return recs
+
+
+class LongReadSimulator:
+    """ONT/PacBio-like long-read generator (the reference benchmarks its
+    long-read mode on pbsim3 reads, benchmark/long_read/benchmark_map.sh;
+    zero-egress here, so this stands in for pbsim3).
+
+    Reads are sampled uniformly from the reference records (not from
+    buckets — long reads span bucket boundaries), lengths ~
+    N(mean_len, sd_len) clipped to [min_len, 2*mean_len], errors applied
+    with the same Poisson D->I->X model and CIGAR bookkeeping as the
+    short-read simulator but at long-read rates (5-10% total), 50%
+    reverse complement. Ground truth: .position_ground_truth rows
+    "ref_id 1-based-pos revcomp cigar" (same format the analyzers read).
+    """
+
+    def __init__(self, records: list[FastaRecord], mean_len: int = 5000,
+                 sd_len: int = 1500, min_len: int = 1000,
+                 substitution_rate: float = 0.02,
+                 insertion_rate: float = 0.02, deletion_rate: float = 0.02,
+                 seed: int = 0):
+        self.records = records
+        self.mean_len, self.sd_len, self.min_len = mean_len, sd_len, min_len
+        self.rates = (substitution_rate, insertion_rate, deletion_rate)
+        self.rng = np.random.RandomState(seed)
+        lens = np.asarray([len(r.codes) for r in records], np.float64)
+        self._ref_p = lens / lens.sum()
+
+    def sample(self):
+        """One read: (codes, ref_id, offset, rev_comp, cigar)."""
+        rng = self.rng
+        L = int(np.clip(rng.normal(self.mean_len, self.sd_len),
+                        self.min_len, 2 * self.mean_len))
+        ref_id = int(rng.choice(len(self.records), p=self._ref_p))
+        rec = self.records[ref_id].codes
+        L = min(L, len(rec))
+        start = int(rng.randint(0, len(rec) - L + 1))
+        seq = list(rec[start : start + L])
+        cigar = ["="] * L
+        sub_r, ins_r, del_r = self.rates
+        for _ in range(int(rng.poisson(del_r * L))):
+            idx = int(rng.randint(len(seq)))
+            del seq[idx]
+            cigar[idx] = "D"
+        for _ in range(int(rng.poisson(ins_r * L))):
+            idx = int(rng.randint(len(seq)))
+            seq.insert(idx, int(rng.randint(4)))
+            cigar.insert(idx, "I")
+        for _ in range(int(rng.poisson(sub_r * L))):
+            idx = int(rng.randint(len(seq)))
+            new = int(rng.randint(4))
+            while new == seq[idx]:
+                new = int(rng.randint(4))
+            seq[idx] = new
+            cigar[idx] = "X"
+        codes = np.asarray(seq, dtype=np.uint8)
+        rc = bool(self.rng.randint(2))
+        if rc:
+            codes = revcomp_codes(codes)
+        return codes, ref_id, start, rc, _cigar_to_string(cigar)
+
+    def generate(self, out_dir: str | os.PathLike, indicator: str,
+                 size: int) -> dict[str, str]:
+        os.makedirs(out_dir, exist_ok=True)
+        paths = {
+            "fastq": os.path.join(out_dir, indicator + ".fastq"),
+            "position_gt": os.path.join(out_dir,
+                                        indicator + ".position_ground_truth"),
+        }
+        fq, pgt = [], []
+        for i in range(size):
+            codes, ref_id, offset, rc, cigar = self.sample()
+            seq = decode_to_ascii(codes).decode()
+            fq.append(f"@{i}\n{seq}\n+\n{'E' * len(seq)}\n")
+            pgt.append(f"{ref_id} {offset + 1} {int(rc)} {cigar}\n")
+        with open(paths["fastq"], "w") as f:
+            f.write("".join(fq))
+        with open(paths["position_gt"], "w") as f:
+            f.write("".join(pgt))
+        return paths
