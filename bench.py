@@ -8,11 +8,16 @@ against the 1.7 Gbp Egu.v3 genome in 320.95 s single-threaded in
 alignment-free mode (bucket_map/benchmark/README.md:169) = 3116 reads/s.
 vs_baseline = our reads/s / 3116.
 
-No egress: the genome is synthetic (uniform random — fewer repeats than
-a real genome, which makes candidate lists shorter; error rates are
-dwgsim-like). Genome size / read count are env-tunable:
-  BMTPU_BENCH_GENOME_MBP (default 256), BMTPU_BENCH_READS (default 100000),
-  BMTPU_BENCH_BATCH (default 512), BMTPU_BENCH_CACHE (default .bench_cache)
+No egress: the genome is synthetic but carries repeat structure
+(segmental duplications + mobile elements + tandem arrays,
+sim/simulator.py:repeat_genome) so candidate lists behave like real
+genomes (the reference sees 1.14-2.7 locations/read on Egu.v3/GRCh38,
+benchmark/README.md:178; a uniform-random genome gives 1.00006).
+Error rates are dwgsim-like. Env-tunable:
+  BMTPU_BENCH_GENOME_MBP (default 1700), BMTPU_BENCH_READS (default 1000000),
+  BMTPU_BENCH_BATCH (default 8192), BMTPU_BENCH_CACHE (default .bench_cache),
+  BMTPU_BENCH_ALIGN=1 (align mode), BMTPU_BENCH_UNIFORM=1 (the old
+  repeat-free genome, for comparison)
 The workload (index + reads + ground truth) is cached on disk so repeated
 runs measure mapping only, like the reference's map stage.
 """
@@ -30,6 +35,7 @@ GENOME_MBP = float(os.environ.get("BMTPU_BENCH_GENOME_MBP", "1700"))
 NUM_READS = int(os.environ.get("BMTPU_BENCH_READS", "1000000"))
 BATCH = int(os.environ.get("BMTPU_BENCH_BATCH", "8192"))
 ALIGN = os.environ.get("BMTPU_BENCH_ALIGN", "0") == "1"
+UNIFORM = os.environ.get("BMTPU_BENCH_UNIFORM", "0") == "1"
 CACHE = os.environ.get("BMTPU_BENCH_CACHE", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_cache"))
 # align-free: 1M reads / 320.95 s; align: 1M / 426.78 s (benchmark/README.md:168-169)
@@ -45,31 +51,39 @@ def main():
     from bucketmap_tpu.index import builder
     from bucketmap_tpu.io.fastq import read_fastq
     from bucketmap_tpu.mapper.pipeline import BucketMapPipeline
-    from bucketmap_tpu.sim.simulator import ShortReadSimulator, random_genome
+    from bucketmap_tpu.sim.simulator import (ShortReadSimulator, random_genome,
+                                             repeat_genome)
+
+    def make_genome():
+        if UNIFORM:
+            return random_genome(int(GENOME_MBP * 1e6), seed=1, n_refs=4)
+        return repeat_genome(int(GENOME_MBP * 1e6), seed=1, n_refs=4)
 
     cfg = MapperConfig(bucket_len=65536, read_len=300)
-    tag = f"g{GENOME_MBP:g}m_r{NUM_READS}"
+    gtag = f"{GENOME_MBP:g}{'u' if UNIFORM else 'rep'}"
+    tag = f"g{gtag}m_r{NUM_READS}"
     os.makedirs(CACHE, exist_ok=True)
-    idx_path = os.path.join(CACHE, f"idx_{GENOME_MBP:g}.bmtpu.json")
+    idx_path = os.path.join(CACHE, f"idx_{gtag}.bmtpu.json")
     fastq_path = os.path.join(CACHE, f"reads_{tag}.fastq")
 
     t0 = time.time()
     if not os.path.exists(idx_path):
-        log(f"[bench] building index for {GENOME_MBP} Mbp synthetic genome...")
-        genome = random_genome(int(GENOME_MBP * 1e6), seed=1, n_refs=4)
+        log(f"[bench] building index for {GENOME_MBP} Mbp synthetic "
+            f"{'uniform' if UNIFORM else 'repeat-structured'} genome...")
+        genome = make_genome()
         index = builder.build_index(genome, cfg)
         builder.build_fine_index(index)
-        builder.save_index(index, CACHE, f"idx_{GENOME_MBP:g}")
+        builder.save_index(index, CACHE, f"idx_{gtag}")
         log(f"[bench] index built in {time.time()-t0:.1f}s "
             f"({index.n_buckets} buckets)")
     else:
-        index = builder.load_index(CACHE, f"idx_{GENOME_MBP:g}")
+        index = builder.load_index(CACHE, f"idx_{gtag}")
         genome = None
         log(f"[bench] index loaded in {time.time()-t0:.1f}s")
 
     if not os.path.exists(fastq_path):
         if genome is None:
-            genome = random_genome(int(GENOME_MBP * 1e6), seed=1, n_refs=4)
+            genome = make_genome()
         log(f"[bench] simulating {NUM_READS} reads...")
         sim = ShortReadSimulator(cfg, substitution_rate=0.002,
                                  insertion_rate=0.00025, deletion_rate=0.00025,
@@ -128,7 +142,8 @@ def main():
 
     print(json.dumps({
         "metric": f"reads_per_sec_per_chip ({NUM_READS} x 300bp sim reads, "
-                  f"{GENOME_MBP:g} Mbp genome, "
+                  f"{GENOME_MBP:g} Mbp "
+                  f"{'uniform' if UNIFORM else 'repeat-structured'} genome, "
                   f"{'align' if ALIGN else 'align-free'})",
         "value": round(rps, 1),
         "unit": "reads/s",
@@ -136,6 +151,7 @@ def main():
                                     else BASELINE_READS_PER_SEC_NOALIGN), 3),
         "pct_mapped": round(mapped / len(gt) * 100, 2),
         "pct_correct_position": round(correct / len(gt) * 100, 2),
+        "locations_per_read": round(stats.mapped_locations / stats.num_reads, 4),
     }))
 
 

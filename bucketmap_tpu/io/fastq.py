@@ -55,6 +55,21 @@ class ReadBatch:
                          ids_buf=self.ids_buf,
                          id_offsets=self.id_offsets[: n + 1])
 
+    @classmethod
+    def from_arrays(cls, ids: list[str], codes: np.ndarray,
+                    quals: np.ndarray, lengths: np.ndarray) -> "ReadBatch":
+        """Build a batch from code/qual arrays (tests, simulators)."""
+        lut = np.frombuffer(b"ACGT", np.uint8)
+        col = np.arange(codes.shape[1])
+        mask = col[None, :] < np.asarray(lengths)[:, None]
+        seq_ascii = np.where(mask, lut[codes % 4], 0).astype(np.uint8)
+        qual_ascii = np.where(mask, quals.astype(np.int16) + 33, 0).astype(np.uint8)
+        ids_buf, id_offsets = cls.pack_ids(ids)
+        return cls(codes=codes, quals=quals,
+                   lengths=np.asarray(lengths, np.int32),
+                   seq_ascii=seq_ascii, qual_ascii=qual_ascii,
+                   ids_buf=ids_buf, id_offsets=id_offsets)
+
     @staticmethod
     def pack_ids(ids: list[str]) -> tuple[np.ndarray, np.ndarray]:
         enc = [i.encode() for i in ids]

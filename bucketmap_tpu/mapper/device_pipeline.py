@@ -1,4 +1,4 @@
-"""Single-dispatch device map step.
+"""Single-dispatch device map step (single chip or sharded mesh).
 
 Measured on the remote-TPU setup: the XLA kernels are microseconds per
 batch but every dispatch costs ~25 ms of round-trip latency and
@@ -10,10 +10,22 @@ overlap transfer and compute.
 
 Pair compaction: the (B, 2, C) candidate tensor is flattened and valid
 lanes are packed (argsort on lane index, invalid keys pushed to the
-end) into a fixed pair budget P. If a batch ever produces more than P
-pairs (heavily repetitive genomes), the host detects it from the
-returned total and re-runs the spilled lanes through the unfused
-FineLocator path.
+end) into a fixed lane budget. If a batch ever produces more lanes than
+the budget (heavily repetitive genomes), the host detects it from the
+returned per-shard totals and re-runs that batch split in half (the
+budget per read doubles each split).
+
+Mesh mode (SPMD over a ('data', 'bucket') mesh via shard_map): reads
+shard on 'data' (DP); the q-gram occupancy matrix AND all fine-stage
+tables (fine_pos / fine_low / fine_ptab / buckets_packed) shard by
+bucket range on 'bucket' — the index-parallel axis the reference cannot
+have (its whole index lives in one address space, q_gram_mapper.h:318).
+Each device scores its bucket range, the candidate policy runs on
+all-gathered per-shard top-C lists (tiny), and every (read, candidate)
+pair is voted by the device that OWNS the candidate's bucket range — no
+all-to-all of reads (reads are replicated along the small 'bucket'
+axis) and no gather across shards of the multi-GB fine tables. HBM per
+chip scales as 1/n_bucket_shards; see PERF.md for the GRCh38 budget.
 """
 
 from __future__ import annotations
@@ -38,83 +50,111 @@ class DeviceMapper:
         self.batch_size = batch_size
         self.vote_chunk = vote_chunk
         self._padded_read_len = index.config.read_len
-        p = batch_size * pairs_per_read
-        self.pair_budget = (p + vote_chunk - 1) // vote_chunk * vote_chunk
         self.coarse = CoarseMapper(index)
         self.fine = FineLocator(index)
-        if mesh is not None:
-            P = jax.sharding.PartitionSpec
-            ns = lambda *spec: jax.sharding.NamedSharding(mesh, P(*spec))
-            self.coarse.qgram_words = jax.device_put(
-                self.coarse.qgram_words, ns(None, bucket_axis))
-            self.coarse.kmer_to_row = jax.device_put(self.coarse.kmer_to_row, ns())
-            self.coarse.zeros = jax.device_put(self.coarse.zeros, ns())
-            if self.coarse.dist_by_kmer is not None:
-                self.coarse.dist_by_kmer = jax.device_put(self.coarse.dist_by_kmer, ns())
-            else:
-                self.coarse.zeros_ge = jax.device_put(self.coarse.zeros_ge, ns())
-            self.coarse.sample_tab = jax.device_put(self.coarse.sample_tab, ns())
-            self.fine.bucket_lengths = jax.device_put(self.fine.bucket_lengths, ns())
-            self.fine.buckets_packed = jax.device_put(self.fine.buckets_packed, ns())
-            if self.fine.fine_pos is not None:
-                self.fine.fine_pos = jax.device_put(self.fine.fine_pos, ns())
-            if self.fine.fine_ptab is not None:
-                self.fine.fine_ptab = jax.device_put(self.fine.fine_ptab, ns())
-                self.fine.fine_low = jax.device_put(self.fine.fine_low, ns())
-            self.fine.sample_tab = jax.device_put(self.fine.sample_tab, ns())
-            self._data_sharding = ns(data_axis)
-            self._data_sharding2 = ns(data_axis, None)
+        self.mesh = mesh
+        self.data_axis, self.bucket_axis = data_axis, bucket_axis
+        if self.fine.has("fine_ptab"):
+            self._vote_path = "prefix"
+        elif self.fine.has("fine_pos"):
+            self._vote_path = "sorted"
         else:
+            self._vote_path = "scan"
+
+        if mesh is None:
+            p = batch_size * pairs_per_read
+            self.lane_budget = (p + vote_chunk - 1) // vote_chunk * vote_chunk
             self._data_sharding = None
-        self._step = jax.jit(self._step_impl)
+            self._step = jax.jit(self._step_impl)
+        else:
+            self._init_mesh(mesh, pairs_per_read)
 
     # ------------------------------------------------------------------
-    def _step_impl(self, qgram_words, kmer_to_row, dist_tab, c_sample_tab,
-                   vote_tabs, f_sample_tab, packed_reads):
-        """packed_reads: (B, cw+qw+1) uint32 transfer layout (2-bit codes
-        + quality-gate bitmask + length; encoding.pack_reads) — one
-        array = one host->device transfer on the latency-bound link.
+    def _init_mesh(self, mesh, pairs_per_read):
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        vote_tabs is a tuple pytree whose layout matches the available
-        fine index: (fine_ptab, fine_low, fine_pos) for the prefix path,
-        (fine_pos, buckets_packed) for the plain positional path, else
-        (buckets_packed, bucket_lengths) for the packed-scan path."""
-        cfg = self.cfg
-        B = packed_reads.shape[0]
-        C = cfg.max_candidate_buckets
-        P = self.pair_budget
-        codes, qual_ok, lengths = unpack_reads(
-            packed_reads, self._padded_read_len, cfg.query_seed, xp=jnp)
-        cand, counts, _ = self.coarse._query_impl(
-            qgram_words, kmer_to_row, dist_tab, c_sample_tab, codes, qual_ok,
-            lengths)
-        samp_hash, samp_idx = self.fine._prepare_impl(
-            f_sample_tab, codes, qual_ok, lengths)
+        da, ba = self.data_axis, self.bucket_axis
+        Dd, Db = mesh.shape[da], mesh.shape[ba]
+        self.Dd, self.Db = Dd, Db
+        assert self.batch_size % Dd == 0, (self.batch_size, Dd)
+        # per-device lane budget (rounded up to the vote chunk)
+        p = self.batch_size * pairs_per_read // Db
+        self.vote_chunk = min(self.vote_chunk, max(32, p))
+        self.lane_budget = -(-p // self.vote_chunk) * self.vote_chunk
+        assert self.lane_budget >= 2 * self.cfg.max_candidate_buckets
 
-        # ---- compact valid candidate lanes into the pair budget ----------
-        flat = cand.reshape(-1)                       # (B*2*C,)
-        nl = flat.shape[0]
-        lane = jnp.arange(nl, dtype=jnp.int32)
-        key = jnp.where(flat >= 0, lane, nl)
-        order = jnp.argsort(key)                      # valid lanes first
-        sel = order[:P]                               # (P,)
-        total_valid = (flat >= 0).sum().astype(jnp.int32)
-        slot_ok = jnp.arange(P, dtype=jnp.int32) < total_valid
-        lane_read = sel // (2 * C)
-        lane_rc = ((sel // C) % 2).astype(bool)
-        lane_bucket = jnp.clip(flat[sel], 0, None).astype(jnp.int32)
+        ns = lambda *spec: NamedSharding(mesh, P(*spec))
+        idx = self.index
+        # pad the word axis to Db columns and every bucket table to the
+        # matching 32*w_pad rows so each shard owns an aligned range
+        w = idx.qgram_words.shape[1]
+        w_pad = -(-w // Db) * Db
+        self._n_pad_global = 32 * w_pad
+        n = idx.n_buckets
 
-        if self.fine.fine_ptab is not None:
-            vote_impl = self.fine._vote_prefix_impl
-        elif self.fine.fine_pos is not None:
-            vote_impl = self.fine._vote_sorted_impl
-        else:
-            vote_impl = self.fine._vote_impl
+        def padded(a, rows, fill):
+            if a is None:
+                return None
+            if a.shape[0] >= rows:
+                return np.asarray(a)
+            pad = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(np.asarray(a), pad, constant_values=fill)
 
-        # voting is chunked sequentially inside the dispatch; chunks whose
-        # lanes are all padding (compaction puts valid lanes first) skip
-        # the vote entirely via cond — on typical data only ~1/4 of the
-        # pair budget is live
+        qw = np.asarray(idx.qgram_words)
+        if w_pad != w:
+            qw = np.pad(qw, ((0, 0), (0, w_pad - w)))
+        npad = self._n_pad_global
+        self.coarse.qgram_words = jax.device_put(qw, ns(None, ba))
+        self.fine.bucket_lengths = jax.device_put(
+            padded(idx.bucket_lengths, npad, 0), ns(ba))
+        self.fine.buckets_packed = jax.device_put(
+            padded(idx.buckets_packed, npad, 0), ns(ba, None))
+        if self.fine.has("fine_pos"):
+            self.fine.fine_pos = jax.device_put(
+                padded(idx.fine_pos, npad, -1), ns(ba, None))
+        if self.fine.has("fine_ptab"):
+            self.fine.fine_ptab = jax.device_put(
+                padded(idx.fine_ptab, npad, 0), ns(ba, None))
+            self.fine.fine_low = jax.device_put(
+                padded(idx.fine_low, npad, 0xFFFF), ns(ba, None))
+        self._data_sharding2 = ns(da, None)
+        self._data_sharding = ns(da)
+
+        vote_specs = {
+            "prefix": (P(ba, None), P(ba, None), P(ba, None)),
+            "sorted": (P(ba, None), P(ba, None)),
+            "scan": (P(ba, None), P(ba)),
+        }[self._vote_path]
+        self._step = jax.jit(jax.shard_map(
+            self._sharded_step_impl, mesh=mesh,
+            in_specs=(P(None, ba), P(), P(), P(None, None), vote_specs,
+                      P(None, None), P(da, None)),
+            out_specs={
+                "lane_read": P((da, ba)), "lane_rc": P((da, ba)),
+                "lane_bucket": P((da, ba)), "offset": P((da, ba)),
+                "votes": P((da, ba)), "accept": P((da, ba)),
+                "counts": P(da, None), "total_valid": P(),
+                "local_valid": P((da, ba)),
+            },
+            check_vma=False))
+
+    # ------------------------------------------------------------------
+    def _vote_impl_and_tabs(self):
+        if self._vote_path == "prefix":
+            return self.fine._vote_prefix_impl, (
+                self.fine.fine_ptab, self.fine.fine_low, self.fine.fine_pos)
+        if self._vote_path == "sorted":
+            return self.fine._vote_sorted_impl, (
+                self.fine.fine_pos, self.fine.buckets_packed)
+        return self.fine._vote_impl, (
+            self.fine.buckets_packed, self.fine.bucket_lengths)
+
+    def _chunked_vote(self, vote_impl, vote_tabs, total_valid, lane_bucket,
+                      lane_rc, samp_hash, samp_idx, lengths, lane_read, P):
+        """Voting chunked sequentially inside the dispatch; chunks whose
+        lanes are all padding (compaction puts valid lanes first) skip
+        the vote entirely via cond — on typical data only ~1/4 of the
+        lane budget is live."""
         ch = self.vote_chunk
         n_chunks = P // ch
 
@@ -137,15 +177,154 @@ class DeviceMapper:
               samp_idx[lane_read].reshape(n_chunks, ch, -1),
               lengths[lane_read].reshape(n_chunks, ch))
         off, votes, acc = jax.lax.map(chunk_fn, xs)
-        acc = acc.reshape(P) & slot_ok
+        return off.reshape(P), votes.reshape(P), acc.reshape(P)
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, qgram_words, kmer_to_row, dist_tab, c_sample_tab,
+                   vote_tabs, f_sample_tab, packed_reads):
+        """packed_reads: (B, cw+qw+1) uint32 transfer layout (2-bit codes
+        + quality-gate bitmask + length; encoding.pack_reads) — one
+        array = one host->device transfer on the latency-bound link.
+
+        vote_tabs is a tuple pytree whose layout matches the available
+        fine index: (fine_ptab, fine_low, fine_pos) for the prefix path,
+        (fine_pos, buckets_packed) for the plain positional path, else
+        (buckets_packed, bucket_lengths) for the packed-scan path."""
+        cfg = self.cfg
+        B = packed_reads.shape[0]
+        C = cfg.max_candidate_buckets
+        P = self.lane_budget
+        codes, qual_ok, lengths = unpack_reads(
+            packed_reads, self._padded_read_len, cfg.query_seed, xp=jnp)
+        cand, counts, _ = self.coarse._query_impl(
+            qgram_words, kmer_to_row, dist_tab, c_sample_tab, codes, qual_ok,
+            lengths)
+        samp_hash, samp_idx = self.fine._prepare_impl(
+            f_sample_tab, codes, qual_ok, lengths)
+
+        # ---- compact valid candidate lanes into the lane budget ----------
+        flat = cand.reshape(-1)                       # (B*2*C,)
+        nl = flat.shape[0]
+        lane = jnp.arange(nl, dtype=jnp.int32)
+        key = jnp.where(flat >= 0, lane, nl)
+        order = jnp.argsort(key)                      # valid lanes first
+        if nl < P:                                    # tiny worlds
+            order = jnp.concatenate(
+                [order, jnp.zeros(P - nl, order.dtype)])
+        sel = order[:P]                               # (P,)
+        total_valid = (flat >= 0).sum().astype(jnp.int32)
+        slot_ok = jnp.arange(P, dtype=jnp.int32) < total_valid
+        lane_read = sel // (2 * C)
+        lane_rc = ((sel // C) % 2).astype(bool)
+        lane_bucket = jnp.clip(flat[sel], 0, None).astype(jnp.int32)
+
+        vote_impl = {"prefix": self.fine._vote_prefix_impl,
+                     "sorted": self.fine._vote_sorted_impl,
+                     "scan": self.fine._vote_impl}[self._vote_path]
+        off, votes, acc = self._chunked_vote(
+            vote_impl, vote_tabs, total_valid, lane_bucket, lane_rc,
+            samp_hash, samp_idx, lengths, lane_read, P)
+        acc = acc & slot_ok
 
         return {
             "lane_read": lane_read, "lane_rc": lane_rc,
             "lane_bucket": lane_bucket,
-            "offset": off.reshape(P), "votes": votes.reshape(P),
+            "offset": off, "votes": votes,
             "accept": acc,
             "counts": counts.astype(jnp.int16),
             "total_valid": total_valid,
+            "local_valid": total_valid[None],
+        }
+
+    # ------------------------------------------------------------------
+    def _sharded_step_impl(self, qgram_words, kmer_to_row, dist_tab,
+                           c_sample_tab, vote_tabs, f_sample_tab,
+                           packed_reads):
+        """Per-device body under shard_map: local coarse scoring over this
+        device's bucket range, global candidate policy via tiny
+        collectives (pmax/psum of per-read stats + all_gather of
+        per-shard top-C lists), then fine voting of the pairs whose
+        candidate bucket falls in the local range."""
+        cfg = self.cfg
+        C = cfg.max_candidate_buckets
+        Pl = self.lane_budget
+        n = self.coarse.n_buckets
+        n_pad_g = self._n_pad_global
+        bi = jax.lax.axis_index(self.bucket_axis)
+        di = jax.lax.axis_index(self.data_axis)
+        B = packed_reads.shape[0]                     # local data rows
+
+        codes, qual_ok, lengths = unpack_reads(
+            packed_reads, self._padded_read_len, cfg.query_seed, xp=jnp)
+        hits, num_good, give_up = self.coarse._hits_impl(
+            qgram_words, kmer_to_row, dist_tab, c_sample_tab, codes, qual_ok,
+            lengths)
+        n_local = hits.shape[2]
+        col0 = bi * n_local
+        col_g = col0 + jnp.arange(n_local, dtype=jnp.int32)
+        in_range = col_g[None, None, :] < n
+        hits = jnp.where(in_range, hits, jnp.int8(-1))
+
+        # candidate policy on GLOBAL per-read quantities (tiny collectives)
+        local_max = hits.max(axis=2).astype(jnp.int32)          # (B, 2)
+        gmax = jax.lax.pmax(local_max, self.bucket_axis)
+        ok = (gmax >= cfg.min_coarse_hits) & ~give_up[:, None]
+        at_max = (hits == gmax[..., None].astype(jnp.int8)) \
+            & ok[..., None] & in_range
+        gcnt = jax.lax.psum(at_max.sum(axis=2).astype(jnp.int32),
+                            self.bucket_axis)
+        over = gcnt > C                                # clear (:471-476)
+        at_max = at_max & ~over[..., None]
+        counts = jnp.where(over, 0, gcnt)
+
+        # per-shard top-C (score favors smallest bucket id), merged via
+        # all_gather: Db*C ints per (read, strand), NOT the hit vector
+        score = jnp.where(at_max, n_pad_g - col_g[None, None, :], 0)
+        vals, _ = jax.lax.top_k(score, C)                        # (B,2,C)
+        allv = jax.lax.all_gather(vals, self.bucket_axis)        # (Db,B,2,C)
+        allv = jnp.moveaxis(allv, 0, 2).reshape(B, 2, -1)
+        gvals, _ = jax.lax.top_k(allv, C)
+        cand = jnp.where(gvals > 0, n_pad_g - gvals, -1).astype(jnp.int32)
+
+        samp_hash, samp_idx = self.fine._prepare_impl(
+            f_sample_tab, codes, qual_ok, lengths)
+
+        # ---- pairs owned by THIS bucket shard ----------------------------
+        flat = cand.reshape(-1)
+        nl = flat.shape[0]
+        lane = jnp.arange(nl, dtype=jnp.int32)
+        mine = (flat >= col0) & (flat < col0 + n_local)
+        key = jnp.where(mine, lane, nl)
+        order = jnp.argsort(key)
+        if nl < Pl:                                   # tiny worlds
+            order = jnp.concatenate(
+                [order, jnp.zeros(Pl - nl, order.dtype)])
+        sel = order[:Pl]
+        local_valid = mine.sum().astype(jnp.int32)
+        slot_ok = jnp.arange(Pl, dtype=jnp.int32) < local_valid
+        lane_read = sel // (2 * C)
+        lane_rc = ((sel // C) % 2).astype(bool)
+        bucket_g = jnp.clip(flat[sel], 0, None).astype(jnp.int32)
+        bid_local = jnp.clip(bucket_g - col0, 0, n_local - 1)
+
+        vote_impl = {"prefix": self.fine._vote_prefix_impl,
+                     "sorted": self.fine._vote_sorted_impl,
+                     "scan": self.fine._vote_impl}[self._vote_path]
+        off, votes, acc = self._chunked_vote(
+            vote_impl, vote_tabs, local_valid, bid_local, lane_rc,
+            samp_hash, samp_idx, lengths, lane_read, Pl)
+        acc = acc & slot_ok
+
+        total_valid = jax.lax.psum(local_valid,
+                                   (self.data_axis, self.bucket_axis))
+        return {
+            "lane_read": di * B + lane_read, "lane_rc": lane_rc,
+            "lane_bucket": bucket_g,
+            "offset": off, "votes": votes,
+            "accept": acc,
+            "counts": counts.astype(jnp.int16),
+            "total_valid": total_valid,
+            "local_valid": local_valid[None],
         }
 
     # ------------------------------------------------------------------
@@ -163,13 +342,12 @@ class DeviceMapper:
         packed = jnp.asarray(packed)
         if self._data_sharding is not None:
             packed = jax.device_put(packed, self._data_sharding2)
-        if self.fine.fine_ptab is not None:
-            vote_tabs = (self.fine.fine_ptab, self.fine.fine_low,
-                         self.fine.fine_pos)
-        elif self.fine.fine_pos is not None:
-            vote_tabs = (self.fine.fine_pos, self.fine.buckets_packed)
-        else:
-            vote_tabs = (self.fine.buckets_packed, self.fine.bucket_lengths)
+        return self.step_global(packed)
+
+    def step_global(self, packed):
+        """Run the fused step on an already-placed (possibly
+        multi-process global) packed-read array."""
+        _, vote_tabs = self._vote_impl_and_tabs()
         return self._step(
             *self.coarse._index_args(), vote_tabs, self.fine.sample_tab,
             packed)

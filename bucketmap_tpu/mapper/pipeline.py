@@ -186,13 +186,7 @@ class BucketMapPipeline:
         dispatches = []
         for s in range(0, S, bs):
             e = min(s + bs, S)
-            pad = bs - (e - s)
-            c, q, sl = codes[s:e], quals[s:e], seg_len[s:e]
-            if pad:
-                c = np.pad(c, ((0, pad), (0, 0)))
-                q = np.pad(q, ((0, pad), (0, 0)))
-                sl = np.pad(sl, (0, pad))
-            dispatches.append((s, e, self.device.step(c, q, sl)))
+            dispatches.append((s, e, self._dispatch(codes, quals, seg_len, s, e)))
         stats.coarse_seconds += time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -200,31 +194,20 @@ class BucketMapPipeline:
         reads_with_cand = np.zeros(n, dtype=bool)
         for s, e, out in dispatches:
             host = jax.device_get(out)
-            total_valid = int(host["total_valid"])
-            stats.candidate_pairs += total_valid
+            stats.candidate_pairs += int(host["total_valid"])
             counts = host["counts"][: e - s]
             reads_with_cand[seg_read[s + np.nonzero(counts.sum(axis=1) > 0)[0]]] = True
 
-            if total_valid > self.device.pair_budget:
-                # pair-budget overflow: redo this batch through the
-                # unfused path (rare; heavily repetitive genomes)
-                chunks.append(self._locate_unfused(batch, seg_read, seg_off,
-                                                   seg_len, codes, quals, s, e))
+            if int(host["local_valid"].max()) > self.device.lane_budget:
+                # lane-budget overflow (heavily repetitive genomes): redo
+                # this batch split in half — per-read budget doubles per
+                # split, stays on the (possibly sharded) fused path
+                chunks.extend(self._locate_split(batch, seg_read, seg_off,
+                                                 seg_len, codes, quals, s, e))
                 continue
 
-            acc_idx = np.nonzero(host["accept"])[0]
-            srow = s + host["lane_read"][acc_idx]
-            keep = srow < e  # drop padded segment rows
-            acc_idx, srow = acc_idx[keep], srow[keep]
-            r = seg_read[srow]
-            so = seg_off[srow]
-            sl = seg_len[srow]
-            x = host["offset"][acc_idx]
-            rc = host["lane_rc"][acc_idx]
-            read_off = np.where(rc, x - (batch.lengths[r] - so - sl), x - so)
-            chunks.append((r, host["lane_bucket"][acc_idx].astype(np.int64),
-                           read_off.astype(np.int64), host["votes"][acc_idx],
-                           ~rc, so))
+            chunks.append(self._extract_chunk(host, s, e, batch, seg_read,
+                                              seg_off, seg_len))
         stats.fine_seconds += time.perf_counter() - t0
         stats.reads_with_candidates += int(reads_with_cand.sum())
         stats.num_reads += n
@@ -253,34 +236,54 @@ class BucketMapPipeline:
         return per_read, stats
 
     # ------------------------------------------------------------------
-    def _locate_unfused(self, batch, seg_read, seg_off, seg_len,
-                        codes, quals, s, e):
-        """Fallback when a batch exceeds the on-device pair budget."""
-        empty = (np.zeros(0, np.int64),) * 4 + (np.zeros(0, bool),
-                                                np.zeros(0, np.int64))
-        cand, counts, _ = self.coarse.query_batch(codes[s:e], quals[s:e],
-                                                  seg_len[s:e])
-        samp_hash, samp_idx = self.fine.prepare(codes[s:e], quals[s:e],
-                                                seg_len[s:e])
-        rows, strands, slots = np.nonzero(cand >= 0)
-        pb = cand[rows, strands, slots]
-        is_rc = strands.astype(bool)
-        if not len(rows):
-            return empty
-        off, votes, acc = self.fine.vote(pb.astype(np.int32), is_rc,
-                                         samp_hash[rows], samp_idx[rows],
-                                         seg_len[s:e][rows])
-        i = np.nonzero(acc)[0]
-        srow = s + rows[i]
+    def _dispatch(self, codes, quals, seg_len, s, e):
+        """Pad segment rows [s, e) to the batch size and dispatch (async)."""
+        bs = self.batch_size
+        pad = bs - (e - s)
+        c, q, sl = codes[s:e], quals[s:e], seg_len[s:e]
+        if pad:
+            c = np.pad(c, ((0, pad), (0, 0)))
+            q = np.pad(q, ((0, pad), (0, 0)))
+            sl = np.pad(sl, (0, pad))
+        return self.device.step(c, q, sl)
+
+    def _extract_chunk(self, host, s, e, batch, seg_read, seg_off, seg_len):
+        """Accepted lanes of one dispatch -> location arrays in read
+        coordinates (fold-back, bucket_locator.h:671-693)."""
+        acc_idx = np.nonzero(host["accept"])[0]
+        srow = s + host["lane_read"][acc_idx]
+        keep = srow < e  # drop padded segment rows
+        acc_idx, srow = acc_idx[keep], srow[keep]
         r = seg_read[srow]
         so = seg_off[srow]
         sl = seg_len[srow]
-        x = off[i]
-        rc = is_rc[i]
+        x = host["offset"][acc_idx]
+        rc = host["lane_rc"][acc_idx]
         read_off = np.where(rc, x - (batch.lengths[r] - so - sl), x - so)
-        return (r.astype(np.int64), pb[i].astype(np.int64),
-                read_off.astype(np.int64), votes[i].astype(np.int64),
-                ~rc, so.astype(np.int64))
+        return (r, host["lane_bucket"][acc_idx].astype(np.int64),
+                read_off.astype(np.int64), host["votes"][acc_idx],
+                ~rc, so)
+
+    def _locate_split(self, batch, seg_read, seg_off, seg_len,
+                      codes, quals, s, e):
+        """Overflow fallback: re-dispatch [s, e) as two halves through the
+        fused step (budget per read doubles each level); a single row can
+        never overflow (lane_budget >= 2 * max_candidate_buckets)."""
+        mid = (s + e) // 2
+        parts = ((s, mid), (mid, e)) if e - s > 1 else ((s, e),)
+        chunks = []
+        for a, b in parts:
+            if a == b:
+                continue
+            host = jax.device_get(self._dispatch(codes, quals, seg_len, a, b))
+            if int(host["local_valid"].max()) > self.device.lane_budget \
+                    and b - a > 1:
+                chunks.extend(self._locate_split(batch, seg_read, seg_off,
+                                                 seg_len, codes, quals, a, b))
+            else:
+                chunks.append(self._extract_chunk(host, a, b, batch,
+                                                  seg_read, seg_off, seg_len))
+        return chunks
 
     # ------------------------------------------------------------------
     def map_fastq(self, fastq_path, sam_path, quality_threshold: int | None = None):

@@ -55,7 +55,10 @@ class CoarseMapper:
         self.cfg = cfg
         self.n_buckets = index.n_buckets
         g = index.qgram_words.shape[0] - 1  # sentinel row index
-        self.qgram_words = jnp.asarray(index.qgram_words)
+        # lazy device transfer: a mesh owner installs the bucket-sharded
+        # version before first use (device_pipeline.DeviceMapper)
+        self._qgram_host = index.qgram_words
+        self._qgram_dev = None
         # -1 (unsampled q-gram) -> sentinel all-ones row / zeros==-1
         k2r = index.kmer_to_row.astype(np.int32)
         self.kmer_to_row = jnp.asarray(np.where(k2r < 0, g, k2r))
@@ -85,6 +88,16 @@ class CoarseMapper:
         # index change and blow up remote-compile payloads.
         self._query = jax.jit(self._query_from_quals_impl)
 
+    @property
+    def qgram_words(self):
+        if self._qgram_dev is None:
+            self._qgram_dev = jnp.asarray(self._qgram_host)
+        return self._qgram_dev
+
+    @qgram_words.setter
+    def qgram_words(self, v):
+        self._qgram_dev = v
+
     def _index_args(self):
         dist_tab = self.dist_by_kmer if self.dist_by_kmer is not None else self.zeros_ge
         return (self.qgram_words, self.kmer_to_row, dist_tab, self.sample_tab)
@@ -99,24 +112,19 @@ class CoarseMapper:
         return self._query_impl(qgram_words, kmer_to_row, dist_tab,
                                 sample_tab, codes, qual_ok, lengths)
 
-    def _query_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
-                    codes: jax.Array, qual_ok: jax.Array, lengths: jax.Array):
-        """codes: (B, L) uint8; qual_ok: (B, L-k+1) bool (the quality gate
-        sum(qual ranks over k) >= mapper_min_kmer_quality, precomputable
-        host-side — see encoding.pack_reads); lengths: (B,) int32.
-
-        Returns (candidates (B, 2, C) int32 -1-padded ascending,
-                 counts (B, 2) int32, num_good (B,) int32).
-        Axis 1 is strand: 0 = original, 1 = reverse complement.
-        """
+    def _hits_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
+                   codes: jax.Array, qual_ok: jax.Array, lengths: jax.Array):
+        """Per-bucket hit counts for a batch — the word-parallel part of
+        the query, valid on a bucket-range SHARD of the index (pass the
+        local word columns; the candidate policy in _select_impl then
+        needs the global view). Returns (hits (B, 2, w*32) int8,
+        num_good (B,) int32, give_up (B,) bool)."""
         cfg = self.cfg
         k, q = cfg.query_seed, cfg.index_seed
         s = cfg.mapper_samples
         B, L = codes.shape
         K = L - k + 1  # k-mer positions (padded tail masked below)
-        n = self.n_buckets
         w = qgram_words.shape[1]
-        n_pad = w * 32
         qbits = jnp.uint32(4**q - 1)
 
         kmers = kmer_hashes(codes, k, xp=jnp)                       # (B, K)
@@ -173,7 +181,26 @@ class CoarseMapper:
             by = jax.lax.bitcast_convert_type(planes[j], jnp.uint8)  # (B,2,w,4) LE
             bit = ((by[..., None] >> shifts8) & jnp.uint8(1)).astype(jnp.int8)
             hits = hits + (bit << j)
-        hits = hits.reshape(B, 2, n_pad)
+        hits = hits.reshape(B, 2, w * 32)
+        return hits, num_good, give_up
+
+    def _query_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
+                    codes: jax.Array, qual_ok: jax.Array, lengths: jax.Array):
+        """codes: (B, L) uint8; qual_ok: (B, L-k+1) bool (the quality gate
+        sum(qual ranks over k) >= mapper_min_kmer_quality, precomputable
+        host-side — see encoding.pack_reads); lengths: (B,) int32.
+
+        Returns (candidates (B, 2, C) int32 -1-padded ascending,
+                 counts (B, 2) int32, num_good (B,) int32).
+        Axis 1 is strand: 0 = original, 1 = reverse complement.
+        """
+        cfg = self.cfg
+        B = codes.shape[0]
+        n = self.n_buckets
+        n_pad = qgram_words.shape[1] * 32
+        hits, num_good, give_up = self._hits_impl(
+            qgram_words, kmer_to_row, dist_tab, sample_tab, codes, qual_ok,
+            lengths)
 
         col = jnp.arange(n_pad, dtype=jnp.int32)
         in_range = col[None, None, :] < n

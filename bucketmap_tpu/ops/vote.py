@@ -55,25 +55,22 @@ class FineLocator:
         self.cfg = cfg
         self.pair_batch = pair_batch
         self.bucket_lengths = jnp.asarray(index.bucket_lengths)
-        # positional fine index (optional): hash-ordered position arrays;
-        # probe hashes derive from the packed rows, so HBM holds positions
-        # (4 B/base) + packing (0.25 B/base) instead of hash+pos (8 B/base)
-        if index.fine_pos is not None:
-            self.fine_pos = jnp.asarray(index.fine_pos)
-        else:
-            self.fine_pos = None
-        # prefix acceleration (optional, preferred): 12-bit-prefix segment
-        # table + low-bit array -> ONE ptab gather + a short uint16 binary
-        # search per lookup, no packed-row hash derivation at all
-        if index.fine_ptab is not None:
-            self.fine_ptab = jnp.asarray(index.fine_ptab)
-            self.fine_low = jnp.asarray(index.fine_low)
-            self.search_steps = index.fine_search_steps
-        else:
-            self.fine_ptab = self.fine_low = None
-            self.search_steps = 0
-        self._packed_host = index.buckets_packed
-        self._packed_dev = None
+        # The big per-bucket tables transfer to device LAZILY (first
+        # access) so a mesh owner can install bucket-sharded versions
+        # first (device_pipeline.DeviceMapper): positional fine index
+        # (hash-ordered positions, 4 B/base), prefix acceleration (12-bit
+        # segment table + uint16 low bits), and the 2-bit packed bucket
+        # sequences. Setting an attribute (incl. None) overrides the
+        # host-backed source.
+        self._host = {
+            "fine_pos": index.fine_pos,
+            "fine_ptab": index.fine_ptab,
+            "fine_low": index.fine_low,
+            "buckets_packed": index.buckets_packed,
+        }
+        self._dev = {}
+        self.search_steps = index.fine_search_steps \
+            if index.fine_ptab is not None else 0
         self.sample_tab = jnp.asarray(sample_table(cfg.locator_samples, cfg.read_len))
         # index arrays are jit arguments, not closure captures (capture
         # would embed them as HLO constants; see ops/coarse.py)
@@ -82,15 +79,30 @@ class FineLocator:
         self._vote_s = jax.jit(self._vote_sorted_impl)
         self._vote_p = jax.jit(self._vote_prefix_impl)
 
-    @property
-    def buckets_packed(self):
-        if self._packed_dev is None:
-            self._packed_dev = jnp.asarray(self._packed_host)
-        return self._packed_dev
+    def _lazy(self, name):
+        if name not in self._dev:
+            h = self._host[name]
+            self._dev[name] = None if h is None else jnp.asarray(h)
+        return self._dev[name]
 
-    @buckets_packed.setter
-    def buckets_packed(self, v):
-        self._packed_dev = v
+    def _set(self, name, v):
+        self._dev[name] = v
+        if v is None:
+            self._host[name] = None
+
+    def has(self, name: str) -> bool:
+        """Table availability WITHOUT forcing the host->device transfer."""
+        return (self._dev.get(name) is not None
+                or (name not in self._dev and self._host[name] is not None))
+
+    buckets_packed = property(lambda s: s._lazy("buckets_packed"),
+                              lambda s, v: s._set("buckets_packed", v))
+    fine_pos = property(lambda s: s._lazy("fine_pos"),
+                        lambda s, v: s._set("fine_pos", v))
+    fine_ptab = property(lambda s: s._lazy("fine_ptab"),
+                         lambda s, v: s._set("fine_ptab", v))
+    fine_low = property(lambda s: s._lazy("fine_low"),
+                        lambda s, v: s._set("fine_low", v))
 
     # ------------------------------------------------------------------
     def _prepare_from_quals_impl(self, sample_tab, codes, quals, lengths):
@@ -391,10 +403,10 @@ class FineLocator:
             args = (jnp.asarray(_pad(bucket_ids)), jnp.asarray(_pad(is_rc)),
                     jnp.asarray(_pad(samp_hash)), jnp.asarray(_pad(samp_idx)),
                     jnp.asarray(_pad(seg_len, fill=1)))
-            if self.fine_ptab is not None:
+            if self.has("fine_ptab"):
                 off, v, acc = self._vote_p(self.fine_ptab, self.fine_low,
                                            self.fine_pos, *args)
-            elif self.fine_pos is not None:
+            elif self.has("fine_pos"):
                 off, v, acc = self._vote_s(self.fine_pos, self.buckets_packed, *args)
             else:
                 off, v, acc = self._vote(

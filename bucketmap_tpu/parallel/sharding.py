@@ -30,9 +30,13 @@ def make_mesh(n_devices: int | None = None, data: int | None = None,
         # wide enough that each holds >= 1 word column
         bucket = 1
         data = n
-        # use a 2D mesh when we have 4+ chips so both axes are exercised
+        # use a 2D mesh when we have 4+ chips so both axes are exercised;
+        # at 8+ chips widen the index-parallel axis (the fine tables are
+        # the HBM bound: 4 B/base fine_pos shards as 1/bucket_shards)
         if n >= 4 and n % 2 == 0:
             data, bucket = n // 2, 2
+        if n >= 8 and n % 4 == 0:
+            data, bucket = n // 4, 4
     assert data * bucket == n, (data, bucket, n)
     arr = np.asarray(devs).reshape(data, bucket)
     return jax.sharding.Mesh(arr, ("data", "bucket"))

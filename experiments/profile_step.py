@@ -33,7 +33,7 @@ dm = DeviceMapper(index, batch_size=B, pairs_per_read=4, vote_chunk=B)
 co, fi = dm.coarse, dm.fine
 cfg = dm.cfg
 C = cfg.max_candidate_buckets
-P = dm.pair_budget
+P = dm.lane_budget
 
 jcodes, jquals, jlens = jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(lengths)
 
