@@ -292,9 +292,13 @@ class BucketMapPipeline:
 
     def map_reads(self, batch: ReadBatch, sam_path,
                   quality_threshold: int | None = None) -> MapStats:
+        from bucketmap_tpu.utils.debug import maybe_trace
+
         cfg = self.cfg
         stats = MapStats()
-        (lr, lbk, loff, lvotes, lorig, _lso), stats = self.locate_arrays(batch, stats)
+        with maybe_trace():  # BMTPU_PROFILE=<dir> -> jax.profiler trace
+            (lr, lbk, loff, lvotes, lorig, _lso), stats = \
+                self.locate_arrays(batch, stats)
 
         t0 = time.perf_counter()
         writer = SamWriter(sam_path, [n for n in self.index.ref_names],

@@ -8,11 +8,33 @@ jit-disable + checkify/debug_nans for kernel validation).
   * ``checked(fn)`` — wraps a jitted function with ``checkify`` so
     out-of-bounds indexing and NaN/div checks become checkable errors
     instead of silent clamps.
+  * ``maybe_trace()`` — jax.profiler trace hook, enabled by the
+    BMTPU_PROFILE=<dir> env var or an explicit dir (the TPU analog of
+    the reference's Timer/[BENCHMARK] instrumentation, SURVEY §5
+    'tracing': load the trace in TensorBoard / xprof).
 """
 
 from __future__ import annotations
 
 import contextlib
+import os
+
+
+@contextlib.contextmanager
+def maybe_trace(trace_dir: str | None = None):
+    """Profile the enclosed block with jax.profiler when enabled.
+
+    Enabled when `trace_dir` is given or BMTPU_PROFILE is set; no-op
+    (zero overhead) otherwise.
+    """
+    d = trace_dir or os.environ.get("BMTPU_PROFILE")
+    if not d:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(d):
+        yield
 
 
 @contextlib.contextmanager
