@@ -54,7 +54,9 @@ class DeviceMapper:
         self.fine = FineLocator(index)
         self.mesh = mesh
         self.data_axis, self.bucket_axis = data_axis, bucket_axis
-        if self.fine.has("fine_ptab"):
+        if self.fine.has("fine_packed"):
+            self._vote_path = "packed"
+        elif self.fine.has("fine_ptab"):
             self._vote_path = "prefix"
         elif self.fine.has("fine_pos"):
             self._vote_path = "sorted"
@@ -115,12 +117,17 @@ class DeviceMapper:
         if self.fine.has("fine_ptab"):
             self.fine.fine_ptab = jax.device_put(
                 padded(idx.fine_ptab, npad, 0), ns(ba, None))
-            self.fine.fine_low = jax.device_put(
-                padded(idx.fine_low, npad, 0xFFFF), ns(ba, None))
+            if self.fine.has("fine_low"):
+                self.fine.fine_low = jax.device_put(
+                    padded(idx.fine_low, npad, 0xFFFF), ns(ba, None))
+        if self.fine.has("fine_packed"):
+            self.fine.fine_packed = jax.device_put(
+                padded(idx.fine_packed, npad, 0xFFFFFFFF), ns(ba, None))
         self._data_sharding2 = ns(da, None)
         self._data_sharding = ns(da)
 
         vote_specs = {
+            "packed": (P(ba, None), P(ba, None)),
             "prefix": (P(ba, None), P(ba, None), P(ba, None)),
             "sorted": (P(ba, None), P(ba, None)),
             "scan": (P(ba, None), P(ba)),
@@ -140,6 +147,9 @@ class DeviceMapper:
 
     # ------------------------------------------------------------------
     def _vote_impl_and_tabs(self):
+        if self._vote_path == "packed":
+            return self.fine._vote_packed_impl, (
+                self.fine.fine_ptab, self.fine.fine_packed)
         if self._vote_path == "prefix":
             return self.fine._vote_prefix_impl, (
                 self.fine.fine_ptab, self.fine.fine_low, self.fine.fine_pos)
@@ -218,7 +228,8 @@ class DeviceMapper:
         lane_rc = ((sel // C) % 2).astype(bool)
         lane_bucket = jnp.clip(flat[sel], 0, None).astype(jnp.int32)
 
-        vote_impl = {"prefix": self.fine._vote_prefix_impl,
+        vote_impl = {"packed": self.fine._vote_packed_impl,
+                     "prefix": self.fine._vote_prefix_impl,
                      "sorted": self.fine._vote_sorted_impl,
                      "scan": self.fine._vote_impl}[self._vote_path]
         off, votes, acc = self._chunked_vote(
@@ -261,26 +272,23 @@ class DeviceMapper:
             lengths)
         n_local = hits.shape[2]
         col0 = bi * n_local
-        col_g = col0 + jnp.arange(n_local, dtype=jnp.int32)
-        in_range = col_g[None, None, :] < n
-        hits = jnp.where(in_range, hits, jnp.int8(-1))
 
         # candidate policy on GLOBAL per-read quantities (tiny collectives)
-        local_max = hits.max(axis=2).astype(jnp.int32)          # (B, 2)
+        hc, chunk_max, local_max = self.coarse._chunk_stats(hits, n, col0)
         gmax = jax.lax.pmax(local_max, self.bucket_axis)
         ok = (gmax >= cfg.min_coarse_hits) & ~give_up[:, None]
-        at_max = (hits == gmax[..., None].astype(jnp.int8)) \
-            & ok[..., None] & in_range
-        gcnt = jax.lax.psum(at_max.sum(axis=2).astype(jnp.int32),
-                            self.bucket_axis)
+        local_cnt = ((hc == gmax[:, :, None, None].astype(jnp.int8))
+                     & ok[..., None, None]).sum(axis=(2, 3)).astype(jnp.int32)
+        gcnt = jax.lax.psum(local_cnt, self.bucket_axis)
         over = gcnt > C                                # clear (:471-476)
-        at_max = at_max & ~over[..., None]
         counts = jnp.where(over, 0, gcnt)
 
-        # per-shard top-C (score favors smallest bucket id), merged via
-        # all_gather: Db*C ints per (read, strand), NOT the hit vector
-        score = jnp.where(at_max, n_pad_g - col_g[None, None, :], 0)
-        vals, _ = jax.lax.top_k(score, C)                        # (B,2,C)
+        # per-shard two-level extraction (ops/coarse.py:_extract_at_max),
+        # merged via all_gather: Db*C ints per (read, strand), NOT the
+        # hit vector
+        cand_l = self.coarse._extract_at_max(hc, chunk_max, gmax,
+                                             ok & ~over, n, col0)
+        vals = jnp.where(cand_l >= 0, n_pad_g - cand_l, 0)
         allv = jax.lax.all_gather(vals, self.bucket_axis)        # (Db,B,2,C)
         allv = jnp.moveaxis(allv, 0, 2).reshape(B, 2, -1)
         gvals, _ = jax.lax.top_k(allv, C)
@@ -307,7 +315,8 @@ class DeviceMapper:
         bucket_g = jnp.clip(flat[sel], 0, None).astype(jnp.int32)
         bid_local = jnp.clip(bucket_g - col0, 0, n_local - 1)
 
-        vote_impl = {"prefix": self.fine._vote_prefix_impl,
+        vote_impl = {"packed": self.fine._vote_packed_impl,
+                     "prefix": self.fine._vote_prefix_impl,
                      "sorted": self.fine._vote_sorted_impl,
                      "scan": self.fine._vote_impl}[self._vote_path]
         off, votes, acc = self._chunked_vote(

@@ -184,6 +184,66 @@ class CoarseMapper:
         hits = hits.reshape(B, 2, w * 32)
         return hits, num_good, give_up
 
+    # -------------------------------------------------------------------
+    CAND_CHUNK = 64  # bucket-chunk width for two-level candidate extraction
+
+    def _chunk_stats(self, hits, n, col0: int = 0):
+        """Mask out-of-range buckets and reduce per bucket-chunk.
+
+        Returns (hc (B,2,nc,cs) int8 masked hits, chunk_max (B,2,nc) int8,
+        local_max (B,2) int32)."""
+        B = hits.shape[0]
+        n_local = hits.shape[2]
+        cs = self.CAND_CHUNK
+        if n_local % cs:  # tiny worlds: pad to a whole chunk with -1
+            pad = cs - n_local % cs
+            hits = jnp.pad(hits, ((0, 0), (0, 0), (0, pad)),
+                           constant_values=-1)
+            n_local += pad
+        col = col0 + jnp.arange(n_local, dtype=jnp.int32)
+        in_range = col[None, None, :] < n
+        hits = jnp.where(in_range, hits, jnp.int8(-1))
+        hc = hits.reshape(B, 2, n_local // cs, cs)
+        chunk_max = hc.max(axis=3)
+        return hc, chunk_max, chunk_max.max(axis=2).astype(jnp.int32)
+
+    def _extract_at_max(self, hc, chunk_max, max_hits, live, n, col0: int = 0):
+        """Bucket ids at the (global) max hit count — two-level extraction.
+
+        A direct top_k over the (B, 2, n_pad) hits tensor dominates the
+        whole map step (measured 457 ms/batch at 26k buckets vs 76 ms
+        for the scoring itself): XLA's TopK over 52k-wide rows is ~100x
+        off bandwidth. Since live reads have <= C at-max buckets (more
+        clears the read, q_gram_mapper.h:471-476), the at-max buckets
+        occupy <= C of the 64-bucket chunks: find those chunks with a
+        narrow top_k over the chunk-max reduction, gather only their hit
+        values, and extract positions with a local top_k over C*64
+        elements. Results identical to the direct extraction.
+
+        Returns cand (B,2,C) int32 — ascending global ids, -1 padded."""
+        C = self.cfg.max_candidate_buckets
+        B, _, nc, cs = hc.shape
+        at_max8 = max_hits[..., None].astype(jnp.int8)
+
+        # level 1: chunks containing an at-max bucket, smallest first
+        chunk_has = (chunk_max == at_max8) & live[..., None]
+        ckey = jnp.where(chunk_has,
+                         nc - jnp.arange(nc, dtype=jnp.int32)[None, None, :], 0)
+        kc = min(C, nc)
+        cvals, cidx = jax.lax.top_k(ckey, kc)                     # (B,2,kc)
+        cvalid = cvals > 0
+        cidx = jnp.where(cvalid, cidx, 0)
+
+        # level 2: gather those chunks' hits, extract at-max positions
+        sub = jnp.take_along_axis(hc, cidx[..., None], axis=2)    # (B,2,kc,cs)
+        sub_col = col0 + (cidx[..., None] * cs
+                          + jnp.arange(cs, dtype=jnp.int32))      # global ids
+        sub_at = (sub == at_max8[..., None]) & cvalid[..., None]
+        n_pad = col0 + nc * cs  # exclusive upper bound on this range's ids
+        skey = jnp.where(sub_at, n_pad - sub_col, 0).reshape(B, 2, -1)
+        vals, _ = jax.lax.top_k(skey, C)
+        return jnp.where(vals > 0, n_pad - vals, -1).astype(jnp.int32)
+
     def _query_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
                     codes: jax.Array, qual_ok: jax.Array, lengths: jax.Array):
         """codes: (B, L) uint8; qual_ok: (B, L-k+1) bool (the quality gate
@@ -195,28 +255,18 @@ class CoarseMapper:
         Axis 1 is strand: 0 = original, 1 = reverse complement.
         """
         cfg = self.cfg
-        B = codes.shape[0]
         n = self.n_buckets
-        n_pad = qgram_words.shape[1] * 32
         hits, num_good, give_up = self._hits_impl(
             qgram_words, kmer_to_row, dist_tab, sample_tab, codes, qual_ok,
             lengths)
 
-        col = jnp.arange(n_pad, dtype=jnp.int32)
-        in_range = col[None, None, :] < n
-        hits = jnp.where(in_range, hits, jnp.int8(-1))
-        max_hits = hits.max(axis=2).astype(jnp.int32)               # (B, 2)
+        hc, chunk_max, max_hits = self._chunk_stats(hits, n)
         ok = (max_hits >= cfg.min_coarse_hits) & ~give_up[:, None]
-        mask = (hits == max_hits[..., None].astype(jnp.int8)) & ok[..., None] & in_range
-
-        counts = mask.sum(axis=2).astype(jnp.int32)
+        counts = ((hc == max_hits[:, :, None, None].astype(jnp.int8))
+                  & ok[..., None, None]).sum(axis=(2, 3)).astype(jnp.int32)
         over = counts > cfg.max_candidate_buckets                   # clear (:471-476)
-        mask = mask & ~over[..., None]
         counts = jnp.where(over, 0, counts)
-
-        score = jnp.where(mask, n_pad - col[None, None, :], 0)
-        vals, _ = jax.lax.top_k(score, cfg.max_candidate_buckets)
-        cand = jnp.where(vals > 0, n_pad - vals, -1).astype(jnp.int32)
+        cand = self._extract_at_max(hc, chunk_max, max_hits, ok & ~over, n)
         return cand, counts, num_good
 
     # -------------------------------------------------------------------

@@ -5,6 +5,7 @@ DeviceMapper._step_impl separately. Run after bench.py has populated
 .bench_cache: python experiments/profile_step.py [batch]
 """
 
+import os
 import sys
 import time
 
@@ -17,14 +18,18 @@ sys.path.insert(0, ".")
 from bucketmap_tpu.index import builder
 from bucketmap_tpu.io.fastq import read_fastq
 from bucketmap_tpu.mapper.device_pipeline import DeviceMapper
+from bucketmap_tpu.ops.encoding import pack_reads, unpack_reads
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
 CACHE = ".bench_cache"
-index = builder.load_index(CACHE, "idx_1700")
+jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+index = builder.load_index(CACHE, "idx_1700rep")
 print(f"index: {index.n_buckets} buckets, fine_pos "
       f"{None if index.fine_pos is None else index.fine_pos.shape}")
 
-batch = read_fastq(f"{CACHE}/reads_g1700m_r1000000.fastq")
+batch = read_fastq(f"{CACHE}/reads_g1700repm_r1000000.fastq")
 codes = batch.codes[:B]
 quals = batch.quals[:B]
 lengths = np.minimum(batch.lengths[:B], index.config.read_len).astype(np.int32)
@@ -35,27 +40,60 @@ cfg = dm.cfg
 C = cfg.max_candidate_buckets
 P = dm.lane_budget
 
-jcodes, jquals, jlens = jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(lengths)
+packed = pack_reads(codes, quals, lengths, cfg.query_seed,
+                    cfg.mapper_min_kmer_quality)
+jcodes, jqual_ok, jlens = jax.jit(
+    lambda p: unpack_reads(p, cfg.read_len, cfg.query_seed, xp=jnp))(
+        jnp.asarray(packed))
 
 
-def timeit(name, f, *args, n=3):
-    out = jax.block_until_ready(f(*args))
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
-        ts.append(time.perf_counter() - t0)
-    print(f"{name}: {min(ts)*1000:.1f} ms")
+def _force(out):
+    """block_until_ready doesn't actually block on the remote backend;
+    a tiny dependent download does."""
+    leaves = jax.tree_util.tree_leaves(out)
+    probes = [l[(0,) * getattr(l, "ndim", 0)] for l in leaves]
+    jax.device_get(probes)
     return out
 
 
-coarse_fn = jax.jit(co._query_impl)
-cand, counts, _ = timeit("1 coarse query     ", coarse_fn, *co._index_args(),
-                         jcodes, jquals, jlens)
+def timeit(name, f, *args, n=3):
+    out = _force(f(*args))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _force(f(*args))
+        ts.append(time.perf_counter() - t0)
+    print(f"{name}: {min(ts)*1000:.1f} ms", flush=True)
+    return out
+
+
+# measure the forced-download floor (dispatch + tiny download latency)
+_x = jnp.zeros(8)
+timeit("0 latency floor    ", lambda v: v + 1, _x)
+
+
+hits_fn = jax.jit(co._hits_impl)
+hits, num_good, give_up = timeit("1 coarse hits      ", hits_fn,
+                                 *co._index_args(), jcodes, jqual_ok, jlens)
+
+
+def select(hits, num_good, give_up):
+    n = co.n_buckets
+    hc, chunk_max, max_hits = co._chunk_stats(hits, n)
+    ok = (max_hits >= cfg.min_coarse_hits) & ~give_up[:, None]
+    counts = ((hc == max_hits[:, :, None, None].astype(jnp.int8))
+              & ok[..., None, None]).sum(axis=(2, 3)).astype(jnp.int32)
+    over = counts > C
+    cand = co._extract_at_max(hc, chunk_max, max_hits, ok & ~over, n)
+    return cand, jnp.where(over, 0, counts)
+
+
+cand, counts = timeit("2 candidate select ", jax.jit(select), hits, num_good,
+                      give_up)
 
 prep_fn = jax.jit(fi._prepare_impl)
-samp_hash, samp_idx = timeit("2 locator prepare  ", prep_fn, fi.sample_tab,
-                             jcodes, jquals, jlens)
+samp_hash, samp_idx = timeit("3 locator prepare  ", prep_fn, fi.sample_tab,
+                             jcodes, jqual_ok, jlens)
 
 
 @jax.jit
@@ -74,17 +112,61 @@ def compact(cand):
 
 
 lane_read, lane_rc, lane_bucket, total_valid = timeit(
-    "3 pair compaction  ", compact, cand)
+    "4 pair compaction  ", compact, cand)
 print(f"   total_valid={int(total_valid)} of budget {P}")
 
-vote_fn = jax.jit(fi._vote_sorted_impl)
-out = timeit("4 fine vote (sorted)", vote_fn, fi.fine_pos, fi.buckets_packed,
-             lane_bucket, lane_rc, samp_hash[lane_read], samp_idx[lane_read],
-             jlens[lane_read])
+# fine vote decomposition: search+extract vs tally
+vp = jax.jit(fi._vote_prefix_impl)
+timeit("5 fine vote (all)  ", vp, fi.fine_ptab, fi.fine_low, fi.fine_pos,
+       lane_bucket[:B], lane_rc[:B], samp_hash[lane_read[:B]],
+       samp_idx[lane_read[:B]], jlens[lane_read[:B]])
 
-full = timeit("5 FUSED step       ", dm.step, codes, quals, lengths)
+
+def search_only(fine_ptab, fine_low, fine_pos, bucket_ids, is_rc, samp_hash,
+                samp_idx, seg_len):
+    from bucketmap_tpu.ops.encoding import revcomp_hash
+    k, p = cfg.query_seed, cfg.locator_samples
+    O = fi.MAX_OCC
+    lpos = fine_pos.shape[1]
+    low_bits = jnp.uint32(2 * k - 12)
+    tgt_hash = jnp.where(is_rc[:, None],
+                         revcomp_hash(samp_hash, k, xp=jnp), samp_hash)
+    tgt_idx = jnp.where(is_rc[:, None],
+                        seg_len[:, None] - k - samp_idx, samp_idx)
+    prefix = (tgt_hash >> low_bits).astype(jnp.int32)
+    low = (tgt_hash & ((jnp.uint32(1) << low_bits) - 1)).astype(jnp.int32)
+    bid = bucket_ids[:, None]
+    lo = fine_ptab[bid, prefix]
+    seg_hi = fine_ptab[bid, prefix + 1]
+    hi = seg_hi
+    for _ in range(fi.search_steps):
+        active = lo < hi
+        mid = (lo + hi) // 2
+        v = fine_low[bid, jnp.clip(mid, 0, lpos - 1)].astype(jnp.int32)
+        below = active & (v < low)
+        lo = jnp.where(below, mid + 1, lo)
+        hi = jnp.where(active & ~below, mid, hi)
+    occ_idx = lo[:, :, None] + jnp.arange(O, dtype=jnp.int32)
+    occ_clamped = jnp.clip(occ_idx, 0, lpos - 1)
+    occ_low = fine_low[bid[:, :, None], occ_clamped].astype(jnp.int32)
+    occ_valid = (occ_idx < seg_hi[:, :, None]) & (occ_low == low[:, :, None])
+    occ_pos = jnp.where(occ_valid,
+                        fine_pos[bid[:, :, None], occ_clamped], 0)
+    prop = occ_pos - tgt_idx[:, :, None]
+    return prop, occ_valid
+
+
+prop, occ_valid = timeit(
+    "6 search+extract   ", jax.jit(search_only), fi.fine_ptab, fi.fine_low,
+    fi.fine_pos, lane_bucket[:B], lane_rc[:B], samp_hash[lane_read[:B]],
+    samp_idx[lane_read[:B]], jlens[lane_read[:B]])
+
+timeit("7 tally (seq)      ", jax.jit(fi._tally), prop, occ_valid,
+       lane_rc[:B])
+
+full = timeit("8 FUSED step       ", dm.step, codes, quals, lengths)
 
 t0 = time.perf_counter()
 host = jax.device_get(full)
-print(f"6 download          : {(time.perf_counter()-t0)*1000:.1f} ms "
+print(f"9 download          : {(time.perf_counter()-t0)*1000:.1f} ms "
       f"({sum(np.asarray(v).nbytes for v in host.values())/1e6:.1f} MB)")
