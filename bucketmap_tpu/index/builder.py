@@ -100,6 +100,14 @@ class BucketIndex:
     fine_ptab: np.ndarray | None = None   # (N, 4097) int32
     fine_low: np.ndarray | None = None    # (N, Lpos) uint16
     fine_search_steps: int = 0
+    # Fused slot encoding (preferred fine path): position and low bits in
+    # ONE uint32 per slot, (pos << low_bits) | low — the occurrence
+    # phase reads position AND verifies the hash with a single gather,
+    # and HBM holds 4 B/base instead of fine_pos+fine_low's 6 B/base.
+    # Available when lpos <= 2^(32 - low_bits) (true for the production
+    # k=12 / 64 KiB-bucket config: 20 position bits >> 17 needed).
+    fine_packed: np.ndarray | None = None  # (N, Lpos) uint32, 0xFFFFFFFF pad
+    fine_low_bits: int = 0
 
     @property
     def n_buckets(self) -> int:
@@ -134,9 +142,17 @@ def iterate_buckets(records: list[FastaRecord], cfg: MapperConfig):
             yield rec.id, start, rec.codes[start:end]
 
 
-def build_fine_index(index: BucketIndex, row_chunk: int = 512) -> None:
+def build_fine_index(index: BucketIndex, row_chunk: int = 512,
+                     keep_unpacked: bool | None = None) -> None:
     """Attach the positional fine index (hash-ordered k-mer positions) to
-    an index in place. Memory: 4 bytes per genome base."""
+    an index in place.
+
+    Preferred layout: `fine_packed` — one uint32 per slot holding
+    (position << low_bits) | hash-low-bits — plus the 12-bit-prefix
+    segment table `fine_ptab`. 4 bytes per genome base. When the packed
+    encoding doesn't fit (very long buckets x large k), or with
+    keep_unpacked=True (kernel-equality tests), the separate
+    fine_pos/fine_low arrays are kept instead/as well."""
     from bucketmap_tpu.ops.encoding import kmer_hashes, unpack_2bit
 
     cfg = index.config
@@ -149,9 +165,17 @@ def build_fine_index(index: BucketIndex, row_chunk: int = 512) -> None:
     lpos = lb - k + 1
     low_bits = 2 * k - 12
     with_prefix = 0 <= low_bits <= 16
-    fine_pos = np.empty((n, lpos), dtype=np.int32)
+    with_packed = with_prefix and lpos <= (1 << (32 - low_bits))
+    if keep_unpacked is None:
+        keep_unpacked = not with_packed
+    fine_pos = np.empty((n, lpos), dtype=np.int32) if keep_unpacked else None
     fine_ptab = np.empty((n, 4097), dtype=np.int32) if with_prefix else None
-    fine_low = np.empty((n, lpos), dtype=np.uint16) if with_prefix else None
+    fine_low = np.empty((n, lpos), dtype=np.uint16) \
+        if (with_prefix and keep_unpacked) else None
+    fine_packed = np.empty((n, lpos), dtype=np.uint32) if with_packed else None
+    if not with_packed and not keep_unpacked:
+        keep_unpacked = True
+        fine_pos = np.empty((n, lpos), dtype=np.int32)
     max_seg = 1
     for s in range(0, n, row_chunk):
         e = min(s + row_chunk, n)
@@ -164,14 +188,20 @@ def build_fine_index(index: BucketIndex, row_chunk: int = 512) -> None:
         hashes = np.where(invalid, np.uint32(0xFFFFFFFF), hashes)
         order = np.argsort(hashes, axis=1, kind="stable").astype(np.int32)
         sorted_invalid = np.take_along_axis(invalid, order, axis=1)
-        fine_pos[s:e] = np.where(sorted_invalid, -1, order)
+        if fine_pos is not None:
+            fine_pos[s:e] = np.where(sorted_invalid, -1, order)
         if with_prefix:
             sh = np.take_along_axis(hashes, order, axis=1)
             prefix = (sh >> np.uint32(low_bits)).astype(np.int32)
             prefix = np.where(sorted_invalid, 4096, prefix)
-            fine_low[s:e] = np.where(
-                sorted_invalid, np.uint16(0xFFFF),
-                (sh & np.uint32((1 << low_bits) - 1)).astype(np.uint16))
+            low = sh & np.uint32((1 << low_bits) - 1)
+            if fine_low is not None:
+                fine_low[s:e] = np.where(sorted_invalid, np.uint16(0xFFFF),
+                                         low.astype(np.uint16))
+            if with_packed:
+                fine_packed[s:e] = np.where(
+                    sorted_invalid, np.uint32(0xFFFFFFFF),
+                    (order.astype(np.uint32) << np.uint32(low_bits)) | low)
             # segment starts: prefixes are sorted per row, so boundaries
             # come straight from searchsorted
             pvals = np.arange(4097, dtype=np.int32)
@@ -183,6 +213,8 @@ def build_fine_index(index: BucketIndex, row_chunk: int = 512) -> None:
     index.fine_pos = fine_pos
     index.fine_ptab = fine_ptab
     index.fine_low = fine_low
+    index.fine_packed = fine_packed
+    index.fine_low_bits = low_bits if with_packed else 0
     index.fine_search_steps = int(max(1, max_seg - 1)).bit_length() \
         if with_prefix else 0
 
@@ -309,7 +341,10 @@ def save_index(index: BucketIndex, directory: str | os.PathLike, indicator: str,
         arrays["fine_pos"] = index.fine_pos
     if index.fine_ptab is not None:
         arrays["fine_ptab"] = index.fine_ptab
-        arrays["fine_low"] = index.fine_low
+        if index.fine_low is not None:
+            arrays["fine_low"] = index.fine_low
+    if index.fine_packed is not None:
+        arrays["fine_packed"] = index.fine_packed
     # one .npy per array: mmap-able on load (a multi-GB npz cannot be)
     for name, arr in arrays.items():
         np.save(f"{base}.bmtpu.{name}.npy", arr)
@@ -318,7 +353,8 @@ def save_index(index: BucketIndex, directory: str | os.PathLike, indicator: str,
         "ref_names": index.ref_names,
         "bucket_names": index.bucket_names,
         "fine_search_steps": index.fine_search_steps,
-        "version": 1,
+        "fine_low_bits": index.fine_low_bits,
+        "version": 2,
     }
     with open(base + ".bmtpu.json", "w") as f:
         json.dump(meta, f)
@@ -350,6 +386,8 @@ def load_index(directory: str | os.PathLike, indicator: str) -> BucketIndex:
         fine_pos=arr("fine_pos", optional=True),
         fine_ptab=arr("fine_ptab", optional=True),
         fine_low=arr("fine_low", optional=True),
+        fine_packed=arr("fine_packed", optional=True),
+        fine_low_bits=int(meta.get("fine_low_bits", 0)),
         fine_search_steps=int(meta.get("fine_search_steps", 0)),
     )
 

@@ -66,11 +66,13 @@ class FineLocator:
             "fine_pos": index.fine_pos,
             "fine_ptab": index.fine_ptab,
             "fine_low": index.fine_low,
+            "fine_packed": index.fine_packed,
             "buckets_packed": index.buckets_packed,
         }
         self._dev = {}
         self.search_steps = index.fine_search_steps \
             if index.fine_ptab is not None else 0
+        self.low_bits = index.fine_low_bits
         self.sample_tab = jnp.asarray(sample_table(cfg.locator_samples, cfg.read_len))
         # index arrays are jit arguments, not closure captures (capture
         # would embed them as HLO constants; see ops/coarse.py)
@@ -78,6 +80,7 @@ class FineLocator:
         self._vote = jax.jit(self._vote_impl)
         self._vote_s = jax.jit(self._vote_sorted_impl)
         self._vote_p = jax.jit(self._vote_prefix_impl)
+        self._vote_k = jax.jit(self._vote_packed_impl)
 
     def _lazy(self, name):
         if name not in self._dev:
@@ -103,6 +106,8 @@ class FineLocator:
                          lambda s, v: s._set("fine_ptab", v))
     fine_low = property(lambda s: s._lazy("fine_low"),
                         lambda s, v: s._set("fine_low", v))
+    fine_packed = property(lambda s: s._lazy("fine_packed"),
+                           lambda s, v: s._set("fine_packed", v))
 
     # ------------------------------------------------------------------
     def _prepare_from_quals_impl(self, sample_tab, codes, quals, lengths):
@@ -381,6 +386,52 @@ class FineLocator:
         return self._tally(prop, occ_valid, is_rc)
 
     # ------------------------------------------------------------------
+    def _vote_packed_impl(self, fine_ptab, fine_packed,
+                          bucket_ids, is_rc, samp_hash, samp_idx, seg_len):
+        """Fused-slot variant of _vote_prefix_impl (preferred in
+        production): each sorted slot is one uint32 (pos << low_bits) |
+        low, so the occurrence phase reads position AND verifies the
+        hash with a SINGLE gather (vs fine_low + fine_pos), and HBM
+        holds 4 B/base instead of 6. Results identical (the packed array
+        preserves the stable sort's slot order)."""
+        cfg = self.cfg
+        k, p = cfg.query_seed, cfg.locator_samples
+        O = self.MAX_OCC
+        P = bucket_ids.shape[0]
+        lpos = fine_packed.shape[1]
+        low_bits = jnp.uint32(self.low_bits)
+        low_mask = jnp.uint32((1 << self.low_bits) - 1)
+
+        tgt_hash = jnp.where(is_rc[:, None],
+                             revcomp_hash(samp_hash, k, xp=jnp), samp_hash)
+        tgt_idx = jnp.where(is_rc[:, None],
+                            seg_len[:, None] - k - samp_idx, samp_idx)
+        prefix = (tgt_hash >> low_bits).astype(jnp.int32)       # (P, p)
+        low = (tgt_hash & low_mask).astype(jnp.int32)
+
+        bid = bucket_ids[:, None]
+        lo = fine_ptab[bid, prefix]
+        seg_hi = fine_ptab[bid, prefix + 1]
+        hi = seg_hi
+        for _ in range(self.search_steps):
+            active = lo < hi
+            mid = (lo + hi) // 2
+            v = (fine_packed[bid, jnp.clip(mid, 0, lpos - 1)]
+                 & low_mask).astype(jnp.int32)
+            below = active & (v < low)
+            lo = jnp.where(below, mid + 1, lo)
+            hi = jnp.where(active & ~below, mid, hi)
+
+        occ_idx = lo[:, :, None] + jnp.arange(O, dtype=jnp.int32)  # (P,p,O)
+        occ_clamped = jnp.clip(occ_idx, 0, lpos - 1)
+        pk = fine_packed[bid[:, :, None], occ_clamped]             # ONE gather
+        occ_low = (pk & low_mask).astype(jnp.int32)
+        occ_valid = (occ_idx < seg_hi[:, :, None]) & (occ_low == low[:, :, None])
+        occ_pos = jnp.where(occ_valid, (pk >> low_bits).astype(jnp.int32), 0)
+        prop = occ_pos - tgt_idx[:, :, None]
+        return self._tally(prop, occ_valid, is_rc)
+
+    # ------------------------------------------------------------------
     def prepare(self, codes: np.ndarray, quals: np.ndarray, lengths: np.ndarray):
         h, i = self._prepare(self.sample_tab, jnp.asarray(codes),
                              jnp.asarray(quals),
@@ -403,7 +454,10 @@ class FineLocator:
             args = (jnp.asarray(_pad(bucket_ids)), jnp.asarray(_pad(is_rc)),
                     jnp.asarray(_pad(samp_hash)), jnp.asarray(_pad(samp_idx)),
                     jnp.asarray(_pad(seg_len, fill=1)))
-            if self.has("fine_ptab"):
+            if self.has("fine_packed"):
+                off, v, acc = self._vote_k(self.fine_ptab, self.fine_packed,
+                                           *args)
+            elif self.has("fine_ptab"):
                 off, v, acc = self._vote_p(self.fine_ptab, self.fine_low,
                                            self.fine_pos, *args)
             elif self.has("fine_pos"):

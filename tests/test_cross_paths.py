@@ -71,8 +71,9 @@ def test_fine_index_artifact_roundtrip(world, tmp_path):
     builder.build_fine_index(idx2)
     builder.save_index(idx2, tmp_path, "f")
     idx3 = builder.load_index(tmp_path, "f")
-    assert idx3.fine_pos is not None
-    np.testing.assert_array_equal(idx3.fine_pos, idx2.fine_pos)
+    # default build keeps only the packed fused-slot encoding
+    assert idx3.fine_packed is not None and idx3.fine_ptab is not None
+    np.testing.assert_array_equal(idx3.fine_packed, idx2.fine_packed)
     # mapping through the loaded fine index works
     batch = read_fastq(paths["fastq"])
     stats = BucketMapPipeline(idx3, batch_size=64, pair_batch=64).map_reads(

@@ -84,7 +84,7 @@ def _run_case(genome, starts, rcs, bucket_len=2048, read_len=150):
     cfg = MapperConfig(bucket_len=bucket_len, read_len=read_len,
                        query_seed=12, locator_samples=10)
     index = build_index(genome, cfg)
-    build_fine_index(index)
+    build_fine_index(index, keep_unpacked=True)
     fl = FineLocator(index)
 
     all_codes = genome[0].codes
@@ -109,7 +109,9 @@ def _run_case(genome, starts, rcs, bucket_len=2048, read_len=150):
             cfg, max_occ=FineLocator.MAX_OCC)
         expected.append((pos, votes, votes >= cfg.min_vote and pos >= 1))
 
-    for name in ("prefix", "sorted", "scan"):
+    for name in ("packed", "prefix", "sorted", "scan"):
+        if name == "prefix":
+            fl.fine_packed = None
         if name == "sorted":
             fl.fine_ptab = fl.fine_low = None
         if name == "scan":

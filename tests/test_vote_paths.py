@@ -13,8 +13,9 @@ def _world(genome):
     cfg = MapperConfig(bucket_len=2048, read_len=150, query_seed=12,
                        locator_samples=10)
     index = build_index(genome, cfg)
-    build_fine_index(index)
+    build_fine_index(index, keep_unpacked=True)  # all four kernel paths
     assert index.fine_ptab is not None and index.fine_low is not None
+    assert index.fine_packed is not None
     return cfg, index
 
 
@@ -22,6 +23,8 @@ def _vote_all_paths(index, bucket_ids, is_rc, samp_hash, samp_idx, seg_len):
     fl = FineLocator(index)
     outs = {}
     args = (bucket_ids, is_rc, samp_hash, samp_idx, seg_len)
+    outs["packed"] = fl.vote(*args)
+    fl.fine_packed = None
     outs["prefix"] = fl.vote(*args)
     fl.fine_ptab = fl.fine_low = None
     outs["sorted"] = fl.vote(*args)
@@ -35,12 +38,12 @@ def _check_paths_agree(index, codes, quals, seg_len, bucket_ids, is_rc):
     samp_hash, samp_idx = fl.prepare(codes, quals, seg_len)
     outs = _vote_all_paths(index, bucket_ids, is_rc, samp_hash, samp_idx,
                            seg_len)
-    for name in ("sorted", "scan"):
-        for a, b, what in zip(outs["prefix"], outs[name],
+    for name in ("prefix", "sorted", "scan"):
+        for a, b, what in zip(outs["packed"], outs[name],
                               ("offset", "votes", "accept")):
             np.testing.assert_array_equal(
-                a, b, err_msg=f"prefix vs {name}: {what}")
-    return outs["prefix"]
+                a, b, err_msg=f"packed vs {name}: {what}")
+    return outs["packed"]
 
 
 def test_vote_paths_agree_random_genome():
@@ -103,4 +106,16 @@ def test_fine_index_v2_artifact_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded.fine_ptab, index.fine_ptab)
     np.testing.assert_array_equal(loaded.fine_low, index.fine_low)
     np.testing.assert_array_equal(loaded.fine_pos, index.fine_pos)
+    np.testing.assert_array_equal(loaded.fine_packed, index.fine_packed)
+    assert loaded.fine_low_bits == index.fine_low_bits
     assert loaded.fine_search_steps == index.fine_search_steps
+    # packed slots decode back to the positional arrays
+    lb = index.fine_low_bits
+    valid = index.fine_pos >= 0
+    np.testing.assert_array_equal(
+        np.where(valid, (index.fine_packed >> np.uint32(lb)).astype(np.int64),
+                 -1),
+        index.fine_pos.astype(np.int64))
+    np.testing.assert_array_equal(
+        (index.fine_packed & np.uint32((1 << lb) - 1))[valid].astype(np.uint16),
+        index.fine_low[valid])
