@@ -163,36 +163,54 @@ class BucketMapPipeline:
                 seg_off.astype(np.int32))
 
     # ------------------------------------------------------------------
-    def locate_arrays(self, batch: ReadBatch, stats: MapStats | None = None):
-        """Map every read; returns parallel numpy arrays of locations
-        (read, bucket, read_offset, votes, is_orig, seg_offset) sorted by
-        (read asc, bucket asc, original-strand first) — the reference's
-        per-read location order.
+    def locate_chunks(self, batch: ReadBatch, stats: MapStats):
+        """Generator over per-dispatch location chunks.
+
+        Dispatch boundaries align to READ boundaries (a read's segments
+        never straddle two dispatches), so every yielded chunk carries
+        the COMPLETE location set for a contiguous read range — the SAM
+        merge/emit can stream per chunk while the device computes the
+        next batches. Yields (r, bk, off, votes, orig, so) arrays sorted
+        by (read asc, bucket asc, original-strand first) — the
+        reference's per-read location order.
 
         All device batches are dispatched asynchronously up front (one
-        fused program per batch), then results are collected — transfer
-        and compute of consecutive batches overlap, hiding the remote
-        dispatch latency.
+        fused program per batch); collection then overlaps transfer,
+        host work, and compute of consecutive batches.
         """
         cfg = self.cfg
-        stats = stats if stats is not None else MapStats()
         n = batch.num_reads
 
         t0 = time.perf_counter()
         codes, quals, seg_len, seg_read, seg_off = self._all_segments(batch)
+        if not np.all(seg_read[:-1] <= seg_read[1:]):
+            order = np.argsort(seg_read, kind="stable")
+            codes, quals = codes[order], quals[order]
+            seg_len, seg_read, seg_off = (seg_len[order], seg_read[order],
+                                          seg_off[order])
         S = len(seg_read)
         bs = self.batch_size
+        assert bs >= cfg.num_segment_samples
 
-        dispatches = []
-        for s in range(0, S, bs):
+        bounds = []
+        s = 0
+        while s < S:
             e = min(s + bs, S)
-            dispatches.append((s, e, self._dispatch(codes, quals, seg_len, s, e)))
+            if e < S and seg_read[e] == seg_read[e - 1]:
+                # retreat to this read's first segment (reads have at
+                # most num_segment_samples segments << bs)
+                e_adj = int(np.searchsorted(seg_read, seg_read[e], "left"))
+                if e_adj > s:
+                    e = e_adj
+            bounds.append((s, e))
+            s = e
+        dispatches = [(s, e, self._dispatch(codes, quals, seg_len, s, e))
+                      for s, e in bounds]
         stats.coarse_seconds += time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        chunks = []
         reads_with_cand = np.zeros(n, dtype=bool)
         for s, e, out in dispatches:
+            t0 = time.perf_counter()
             host = jax.device_get(out)
             stats.candidate_pairs += int(host["total_valid"])
             counts = host["counts"][: e - s]
@@ -202,29 +220,37 @@ class BucketMapPipeline:
                 # lane-budget overflow (heavily repetitive genomes): redo
                 # this batch split in half — per-read budget doubles per
                 # split, stays on the (possibly sharded) fused path
-                chunks.extend(self._locate_split(batch, seg_read, seg_off,
-                                                 seg_len, codes, quals, s, e))
-                continue
-
-            chunks.append(self._extract_chunk(host, s, e, batch, seg_read,
-                                              seg_off, seg_len))
-        stats.fine_seconds += time.perf_counter() - t0
-        stats.reads_with_candidates += int(reads_with_cand.sum())
-        stats.num_reads += n
-
-        if chunks:
+                chunks = self._locate_split(batch, seg_read, seg_off,
+                                            seg_len, codes, quals, s, e)
+            else:
+                chunks = [self._extract_chunk(host, s, e, batch, seg_read,
+                                              seg_off, seg_len)]
             r = np.concatenate([c[0] for c in chunks]).astype(np.int64)
             bk = np.concatenate([c[1] for c in chunks])
             off = np.concatenate([c[2] for c in chunks])
             votes = np.concatenate([c[3] for c in chunks]).astype(np.int64)
             orig = np.concatenate([c[4] for c in chunks])
             so = np.concatenate([c[5] for c in chunks]).astype(np.int64)
+            order = np.lexsort((~orig, bk, r))
+            stats.fine_seconds += time.perf_counter() - t0
+            yield (r[order], bk[order], off[order], votes[order],
+                   orig[order], so[order])
+        stats.reads_with_candidates += int(reads_with_cand.sum())
+        stats.num_reads += n
+
+    def locate_arrays(self, batch: ReadBatch, stats: MapStats | None = None):
+        """Map every read; returns parallel numpy arrays of locations
+        (read, bucket, read_offset, votes, is_orig, seg_offset) sorted by
+        (read asc, bucket asc, original-strand first)."""
+        stats = stats if stats is not None else MapStats()
+        chunks = list(self.locate_chunks(batch, stats))
+        if chunks:
+            out = tuple(np.concatenate([c[i] for c in chunks])
+                        for i in range(6))
         else:
-            r = bk = off = votes = so = np.zeros(0, np.int64)
-            orig = np.zeros(0, bool)
-        order = np.lexsort((~orig, bk, r))
-        return (r[order], bk[order], off[order], votes[order], orig[order],
-                so[order]), stats
+            z = np.zeros(0, np.int64)
+            out = (z, z, z, z, np.zeros(0, bool), z)
+        return out, stats
 
     def locate_batch(self, batch: ReadBatch, stats: MapStats | None = None):
         """Compatibility wrapper: per-read list[Location] view."""
@@ -292,28 +318,43 @@ class BucketMapPipeline:
 
     def map_reads(self, batch: ReadBatch, sam_path,
                   quality_threshold: int | None = None) -> MapStats:
+        """Locate + merge + SAM-emit, STREAMED per device dispatch: the
+        host merge/format/write of chunk i overlaps the device compute
+        of chunks i+1... (the reference runs these phases strictly
+        sequentially, bucket_locator.h:455-611)."""
         from bucketmap_tpu.utils.debug import maybe_trace
 
         cfg = self.cfg
         stats = MapStats()
-        with maybe_trace():  # BMTPU_PROFILE=<dir> -> jax.profiler trace
-            (lr, lbk, loff, lvotes, lorig, _lso), stats = \
-                self.locate_arrays(batch, stats)
-
-        t0 = time.perf_counter()
         writer = SamWriter(sam_path, [n for n in self.index.ref_names],
                            self.index.sam_ref_lengths())
-        bucket_sam_off = self._bucket_sam_offset
         qt = cfg.quality_threshold if quality_threshold is None else quality_threshold
+        with maybe_trace():  # BMTPU_PROFILE=<dir> -> jax.profiler trace
+            for chunk in self.locate_chunks(batch, stats):
+                t0 = time.perf_counter()
+                self._emit_locations(writer, batch, chunk, qt, stats)
+                stats.output_seconds += time.perf_counter() - t0
+        writer.close()
+        return stats
+
+    def _emit_locations(self, writer, batch, chunk, qt, stats):
+        """Merge + format + write SAM records for one location chunk
+        (a contiguous read range with complete location sets)."""
+        cfg = self.cfg
+        lr, lbk, loff, lvotes, lorig, _lso = chunk
+        bucket_sam_off = self._bucket_sam_offset
 
         if not self.align:
             # alignment-free: merge/keep-best per read. Reads with a single
             # location (the overwhelming majority) pass through unchanged;
             # only multi-location reads run the literal merge.
             n = batch.num_reads
-            loc_counts = np.bincount(lr, minlength=n) if len(lr) else \
-                np.zeros(n, np.int64)
-            multi_mask = loc_counts[lr] > 1 if len(lr) else np.zeros(0, bool)
+            # lr is sorted: multi-location reads = runs of equal ids
+            multi_mask = np.zeros(len(lr), bool)
+            if len(lr) > 1:
+                same = lr[1:] == lr[:-1]
+                multi_mask[1:] |= same
+                multi_mask[:-1] |= same
             s_r = lr[~multi_mask]
             s_bk = lbk[~multi_mask]
             s_off = loff[~multi_mask]
@@ -378,12 +419,8 @@ class BucketMapPipeline:
             rec_cigar = [ops_to_cigar(ops[i]).encode()
                          for i in np.nonzero(keep)[0]]
         stats.mapped_locations += len(rec_read)
-
         self._emit_records(writer, batch, rec_read, rec_flag, rec_bucket,
                            rec_pos0, rec_mapq, rec_cigar)
-        writer.close()
-        stats.output_seconds = time.perf_counter() - t0
-        return stats
 
     # ------------------------------------------------------------------
     def _emit_records(self, writer, batch, rec_read, rec_flag, rec_bucket,

@@ -115,26 +115,27 @@ lane_read, lane_rc, lane_bucket, total_valid = timeit(
     "4 pair compaction  ", compact, cand)
 print(f"   total_valid={int(total_valid)} of budget {P}")
 
-# fine vote decomposition: search+extract vs tally
-vp = jax.jit(fi._vote_prefix_impl)
-timeit("5 fine vote (all)  ", vp, fi.fine_ptab, fi.fine_low, fi.fine_pos,
+# fine vote decomposition (packed production path): search+extract vs tally
+vk = jax.jit(fi._vote_packed_impl)
+timeit("5 fine vote (all)  ", vk, fi.fine_ptab, fi.fine_packed,
        lane_bucket[:B], lane_rc[:B], samp_hash[lane_read[:B]],
        samp_idx[lane_read[:B]], jlens[lane_read[:B]])
 
 
-def search_only(fine_ptab, fine_low, fine_pos, bucket_ids, is_rc, samp_hash,
+def search_only(fine_ptab, fine_packed, bucket_ids, is_rc, samp_hash,
                 samp_idx, seg_len):
     from bucketmap_tpu.ops.encoding import revcomp_hash
     k, p = cfg.query_seed, cfg.locator_samples
     O = fi.MAX_OCC
-    lpos = fine_pos.shape[1]
-    low_bits = jnp.uint32(2 * k - 12)
+    lpos = fine_packed.shape[1]
+    low_bits = jnp.uint32(fi.low_bits)
+    low_mask = jnp.uint32((1 << fi.low_bits) - 1)
     tgt_hash = jnp.where(is_rc[:, None],
                          revcomp_hash(samp_hash, k, xp=jnp), samp_hash)
     tgt_idx = jnp.where(is_rc[:, None],
                         seg_len[:, None] - k - samp_idx, samp_idx)
     prefix = (tgt_hash >> low_bits).astype(jnp.int32)
-    low = (tgt_hash & ((jnp.uint32(1) << low_bits) - 1)).astype(jnp.int32)
+    low = (tgt_hash & low_mask).astype(jnp.int32)
     bid = bucket_ids[:, None]
     lo = fine_ptab[bid, prefix]
     seg_hi = fine_ptab[bid, prefix + 1]
@@ -142,23 +143,24 @@ def search_only(fine_ptab, fine_low, fine_pos, bucket_ids, is_rc, samp_hash,
     for _ in range(fi.search_steps):
         active = lo < hi
         mid = (lo + hi) // 2
-        v = fine_low[bid, jnp.clip(mid, 0, lpos - 1)].astype(jnp.int32)
+        v = (fine_packed[bid, jnp.clip(mid, 0, lpos - 1)]
+             & low_mask).astype(jnp.int32)
         below = active & (v < low)
         lo = jnp.where(below, mid + 1, lo)
         hi = jnp.where(active & ~below, mid, hi)
     occ_idx = lo[:, :, None] + jnp.arange(O, dtype=jnp.int32)
     occ_clamped = jnp.clip(occ_idx, 0, lpos - 1)
-    occ_low = fine_low[bid[:, :, None], occ_clamped].astype(jnp.int32)
+    pk = fine_packed[bid[:, :, None], occ_clamped]
+    occ_low = (pk & low_mask).astype(jnp.int32)
     occ_valid = (occ_idx < seg_hi[:, :, None]) & (occ_low == low[:, :, None])
-    occ_pos = jnp.where(occ_valid,
-                        fine_pos[bid[:, :, None], occ_clamped], 0)
+    occ_pos = jnp.where(occ_valid, (pk >> low_bits).astype(jnp.int32), 0)
     prop = occ_pos - tgt_idx[:, :, None]
     return prop, occ_valid
 
 
 prop, occ_valid = timeit(
-    "6 search+extract   ", jax.jit(search_only), fi.fine_ptab, fi.fine_low,
-    fi.fine_pos, lane_bucket[:B], lane_rc[:B], samp_hash[lane_read[:B]],
+    "6 search+extract   ", jax.jit(search_only), fi.fine_ptab,
+    fi.fine_packed, lane_bucket[:B], lane_rc[:B], samp_hash[lane_read[:B]],
     samp_idx[lane_read[:B]], jlens[lane_read[:B]])
 
 timeit("7 tally (seq)      ", jax.jit(fi._tally), prop, occ_valid,
