@@ -38,6 +38,8 @@ mirrored index seg_len - k - idx (bucket_locator.h:236-243).
 
 from __future__ import annotations
 
+import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +49,89 @@ from bucketmap_tpu.config import MapperConfig
 from bucketmap_tpu.index.builder import BucketIndex
 from bucketmap_tpu.ops.encoding import kmer_hashes, revcomp_hash, unpack_2bit, window_quality_sums
 from bucketmap_tpu.ops.sampler import sample_table
+
+
+def _tally_pallas_call(flat_prop, flat_valid, p, O, indel, min_vote,
+                       read_len, block_rows: int = 256,
+                       interpret: bool = False):
+    """Pallas TPU kernel for the sequential vote accumulation.
+
+    The jnp fori_loop version carries (P, S) pos/votes/created state
+    through an XLA while-loop, whose carry round-trips HBM every sample
+    iteration. Here one Pallas program owns `block_rows` pairs and runs
+    the entire p*O-step accumulation on VMEM-resident state — one HBM
+    read of the proposals, one (P,) write of the results. Semantics are
+    identical to FineLocator._tally's loop body (itself a literal port
+    of _find_offset, bucket_locator.h:227-290).
+
+    flat_prop/flat_valid: (P, S=p*O) int32, sample axis already flipped
+    for revcomp pairs. Returns (offset (P,), votes (P,), accept (P,)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, S = flat_prop.shape
+    TP = min(block_rows, P)
+    pad = (-P) % TP
+    if pad:
+        flat_prop = jnp.pad(flat_prop, ((0, pad), (0, 0)))
+        flat_valid = jnp.pad(flat_valid, ((0, pad), (0, 0)))
+    Pp = P + pad
+
+    def kernel(prop_ref, valid_ref, off_ref, votes_ref, acc_ref):
+        pr = prop_ref[:]
+        va = valid_ref[:]                                  # int32 0/1
+        col = jax.lax.broadcasted_iota(jnp.int32, (TP, S), 1)
+        pos = jnp.zeros((TP, S), jnp.int32)
+        votes = jnp.zeros((TP, S), jnp.int32)
+        created = jnp.zeros((TP, S), jnp.int32)
+        for j in range(p):
+            # tolerance chosen ONCE per sample (bucket_locator.h:247)
+            any_created = created.max(axis=1, keepdims=True)   # (TP, 1)
+            tol = jnp.where(any_created > 0, indel, 0)
+            for o in range(O):
+                idx = j * O + o
+                pcur = pr[:, idx][:, None]
+                val = va[:, idx][:, None]
+                close = jnp.where(
+                    (created > 0) & (jnp.abs(pos - pcur) <= tol), 1, 0)
+                anyc = close.max(axis=1, keepdims=True)
+                votes = votes + close * val
+                create = val * (1 - anyc)                  # (TP, 1)
+                hit = jnp.where((create > 0) & (col == idx), 1, 0)
+                pos = jnp.where(hit > 0, pcur, pos)
+                votes = jnp.where(hit > 0, 1, votes)
+                created = jnp.maximum(created, hit)
+        # winner = max votes then smallest position, decoded from the max
+        # of the same packed key the jnp path argmaxes (equal keys decode
+        # to equal results, so max == take(argmax))
+        xoff = pos + read_len
+        key = jnp.where(created > 0,
+                        votes * (1 << 19) + ((1 << 19) - 1 - xoff), -1)
+        best = key.max(axis=1, keepdims=True)              # (TP, 1)
+        bvotes = best >> 19
+        boff = ((1 << 19) - 1 - (best & ((1 << 19) - 1))) - read_len
+        ok = best >= 0
+        off_ref[:] = jnp.where(ok, boff, 0)
+        votes_ref[:] = jnp.where(ok, bvotes, 0)
+        acc_ref[:] = jnp.where(
+            ok & (bvotes >= min_vote) & (boff >= 1), 1, 0)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Pp // TP,),
+        in_specs=[
+            pl.BlockSpec((TP, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TP, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TP, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Pp, 1), jnp.int32)] * 3,
+        interpret=interpret,
+    )(flat_prop, flat_valid)
+    off, votes, acc = (o[:P, 0] for o in outs)
+    return off, votes, acc.astype(bool)
 
 
 class FineLocator:
@@ -74,6 +159,19 @@ class FineLocator:
             if index.fine_ptab is not None else 0
         self.low_bits = index.fine_low_bits
         self.sample_tab = jnp.asarray(sample_table(cfg.locator_samples, cfg.read_len))
+        # sequential-tally backend: the Pallas kernel on TPU (state stays
+        # in VMEM for the whole accumulation), the jnp fori_loop
+        # elsewhere (tests/dryruns run on CPU). BMTPU_TALLY=pallas|jnp
+        # overrides; BMTPU_PALLAS_INTERPRET=1 runs the kernel in
+        # interpreter mode (kernel correctness tests on CPU).
+        env = os.environ.get("BMTPU_TALLY", "auto")
+        self._tally_interpret = \
+            os.environ.get("BMTPU_PALLAS_INTERPRET", "0") == "1"
+        if env in ("pallas", "jnp"):
+            self._tally_mode = env
+        else:
+            self._tally_mode = ("jnp" if jax.default_backend() == "cpu"
+                                else "pallas")
         # index arrays are jit arguments, not closure captures (capture
         # would embed them as HLO constants; see ops/coarse.py)
         self._prepare = jax.jit(self._prepare_from_quals_impl)
@@ -177,6 +275,11 @@ class FineLocator:
                               occ_valid)
         flat_prop = prop.reshape(P, S)
         flat_valid = occ_valid.reshape(P, S)
+        if self._tally_mode == "pallas":
+            return _tally_pallas_call(
+                flat_prop.astype(jnp.int32), flat_valid.astype(jnp.int32),
+                p, O, indel, cfg.min_vote, cfg.read_len,
+                interpret=self._tally_interpret)
         slot_ids = jnp.arange(S, dtype=jnp.int32)
 
         def sample_body(j, state):
