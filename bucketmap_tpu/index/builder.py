@@ -215,7 +215,10 @@ def build_fine_index(index: BucketIndex, row_chunk: int = 512,
     index.fine_low = fine_low
     index.fine_packed = fine_packed
     index.fine_low_bits = low_bits if with_packed else 0
-    index.fine_search_steps = int(max(1, max_seg - 1)).bit_length() \
+    # lower_bound over a segment of length max_seg: gap max_seg -> 0 takes
+    # bit_length(max_seg) halvings (max_seg-1 would be one short whenever
+    # max_seg is a power of two)
+    index.fine_search_steps = int(max(1, max_seg)).bit_length() \
         if with_prefix else 0
 
 

@@ -267,27 +267,29 @@ class DeviceMapper:
 
         codes, qual_ok, lengths = unpack_reads(
             packed_reads, self._padded_read_len, cfg.query_seed, xp=jnp)
-        hits, num_good, give_up = self.coarse._hits_impl(
+        presence, num_good, give_up = self.coarse._presence_impl(
             qgram_words, kmer_to_row, dist_tab, c_sample_tab, codes, qual_ok,
             lengths)
-        n_local = hits.shape[2]
+        n_local = presence.shape[3] * 32
         col0 = bi * n_local
 
         # candidate policy on GLOBAL per-read quantities (tiny collectives)
-        hc, chunk_max, local_max = self.coarse._chunk_stats(hits, n, col0)
+        bound = jnp.clip(jnp.int32(n) - col0, 0, n_local)
+        chunk_max, chunk_cnt = self.coarse._chunk_scan(presence, bound)
+        local_max = chunk_max.max(axis=2)                        # (B,2) i32
         gmax = jax.lax.pmax(local_max, self.bucket_axis)
         ok = (gmax >= cfg.min_coarse_hits) & ~give_up[:, None]
-        local_cnt = ((hc == gmax[:, :, None, None].astype(jnp.int8))
-                     & ok[..., None, None]).sum(axis=(2, 3)).astype(jnp.int32)
+        local_cnt = jnp.where((chunk_max == gmax[:, :, None])
+                              & ok[..., None], chunk_cnt, 0).sum(axis=2)
         gcnt = jax.lax.psum(local_cnt, self.bucket_axis)
         over = gcnt > C                                # clear (:471-476)
         counts = jnp.where(over, 0, gcnt)
 
-        # per-shard two-level extraction (ops/coarse.py:_extract_at_max),
+        # per-shard two-level extraction (ops/coarse.py:_extract_at_max2),
         # merged via all_gather: Db*C ints per (read, strand), NOT the
         # hit vector
-        cand_l = self.coarse._extract_at_max(hc, chunk_max, gmax,
-                                             ok & ~over, n, col0)
+        cand_l = self.coarse._extract_at_max2(presence, chunk_max, gmax,
+                                              ok & ~over, n, col0)
         vals = jnp.where(cand_l >= 0, n_pad_g - cand_l, 0)
         allv = jax.lax.all_gather(vals, self.bucket_axis)        # (Db,B,2,C)
         allv = jnp.moveaxis(allv, 0, 2).reshape(B, 2, -1)

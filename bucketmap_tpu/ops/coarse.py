@@ -28,6 +28,7 @@ Per-read flow (query_sequence, q_gram_mapper.h:414-480):
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,160 @@ def min_good_kmers(cfg: MapperConfig) -> int:
     size < 0.2*num_samples in double (q_gram_mapper.h:445); python floats
     are IEEE doubles so math.ceil of the float product is exact."""
     return math.ceil(0.2 * cfg.mapper_samples)
+
+
+def _chunk_scan_pallas(presence, bound, block_rows: int = 256,
+                       interpret: bool = False):
+    """Fused bit-sliced counting + per-word-chunk reduction as one Pallas
+    kernel.
+
+    presence: (B, 2, s, w) uint32 — per-sample bucket-presence words (the
+    AND of each sample's q-gram occupancy rows). bound: int32 scalar, the
+    first out-of-range bucket column (masked to hit count -1 — required
+    because the all-ones sentinel row sets phantom bits beyond the last
+    real bucket).
+
+    Per (row-block, word-tile) program: run the s-step carry chain into
+    bit-plane registers, expand each word's 32 per-bucket counts, and
+    reduce to per-word (CAND_CHUNK=32 buckets) chunk max + at-max count —
+    all in VMEM. The (B, 2, n) per-bucket hit tensor (425 MB/batch at
+    production scale, the round-1 design) never exists in HBM: traffic is
+    one presence read + two (B, 2, w) i32 writes.
+
+    Returns (chunk_max (B, 2, w_pad) i32, chunk_cnt (B, 2, w_pad) i32)
+    where w_pad rounds w up to the tile width (padded chunks read as
+    fully masked: max -1, count 32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, two, s, w = presence.shape
+    B2 = B * two
+    n_planes = s.bit_length()
+    pres = presence.reshape(B2, s, w)
+    Tw = 128 if w >= 128 else -(-w // 8) * 8
+    wp = -(-w // Tw) * Tw
+    if wp != w:
+        pres = jnp.pad(pres, ((0, 0), (0, 0), (0, wp - w)))
+    BR = min(block_rows, B2)
+    assert B2 % BR == 0, (B2, BR)
+    nt = wp // Tw
+
+    def kernel(bound_ref, p_ref, cm_ref, cc_ref):
+        t = pl.program_id(1)
+        bnd = bound_ref[0]
+        planes = [jnp.zeros((BR, Tw), jnp.uint32) for _ in range(n_planes)]
+        for i in range(s):
+            carry = p_ref[:, i, :]
+            for j in range(n_planes):
+                tmp = planes[j] & carry
+                planes[j] = planes[j] ^ carry
+                carry = tmp
+        wit = jax.lax.broadcasted_iota(jnp.int32, (BR, Tw), 1)
+        colbase = (t * Tw + wit) * 32
+        cnts = []
+        cm = jnp.full((BR, Tw), -1, jnp.int32)
+        for b in range(32):
+            c = jnp.zeros((BR, Tw), jnp.int32)
+            for j in range(n_planes):
+                c = c | (((planes[j] >> jnp.uint32(b))
+                          & jnp.uint32(1)).astype(jnp.int32) << j)
+            c = jnp.where(colbase + b < bnd, c, -1)
+            cnts.append(c)
+            cm = jnp.maximum(cm, c)
+        cc = jnp.zeros((BR, Tw), jnp.int32)
+        for b in range(32):
+            cc = cc + jnp.where(cnts[b] == cm, 1, 0)
+        cm_ref[:] = cm
+        cc_ref[:] = cc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B2 // BR, nt),
+        in_specs=[
+            pl.BlockSpec((BR, s, Tw), lambda i, t, _b: (i, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BR, Tw), lambda i, t, _b: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, Tw), lambda i, t, _b: (i, t),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    cm, cc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B2, wp), jnp.int32)] * 2,
+        interpret=interpret,
+    )(jnp.asarray(bound, jnp.int32).reshape(1), pres)
+    return cm.reshape(B, two, wp), cc.reshape(B, two, wp)
+
+
+def _first_set_indices(mask, C: int):
+    """Indices of the first C set lanes along the last axis — exact capped
+    compaction via cumsum ranks + a vectorized lower-bound binary search.
+
+    XLA's TopK lowers to a full sort-network pass on TPU: measured
+    ~35 ms per call on (8192, 2, 896) int32 keys — 2x the entire fine
+    stage. The (j+1)-th set bit sits at the first position whose running
+    rank reaches j+1, so C lower-bound searches over the monotone rank
+    vector (log2(n) take_along_axis gathers of (..., C) each) extract
+    the same indices in ~2 ms.
+
+    mask: (..., n) bool. Returns (idx (..., C) int32 ascending, valid
+    (..., C) bool); idx is 0 where invalid."""
+    n = mask.shape[-1]
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)       # (..., n)
+    total = rank[..., -1:]
+    tgt = jnp.arange(1, C + 1, dtype=jnp.int32)
+    tgt = jnp.broadcast_to(tgt, mask.shape[:-1] + (C,))
+    lo = jnp.zeros_like(tgt)
+    hi = jnp.full_like(tgt, n)
+    # lower_bound over [0, n] needs bit_length(n) halvings: gap n -> 0
+    # (worst step shrinks gap to floor(gap/2); (n-1).bit_length() is one
+    # short when n is a power of two)
+    for _ in range(max(1, n.bit_length())):
+        mid = (lo + hi) // 2
+        v = jnp.take_along_axis(rank, jnp.clip(mid, 0, n - 1), axis=-1)
+        below = v < tgt
+        lo = jnp.where(below, mid + 1, lo)
+        hi = jnp.where(below, hi, mid)
+    valid = tgt <= total
+    return jnp.where(valid, lo, 0).astype(jnp.int32), valid
+
+
+def _chunk_scan_jnp(presence, bound):
+    """Reference implementation of _chunk_scan_pallas in plain jnp (used
+    on CPU: tests, dryruns). Identical outputs, including the w -> w_pad
+    tile padding, so the two backends are interchangeable."""
+    B, two, s, w = presence.shape
+    n_planes = s.bit_length()
+    planes = [jnp.zeros((B, two, w), jnp.uint32) for _ in range(n_planes)]
+    for i in range(s):
+        carry = presence[:, :, i, :]
+        for j in range(n_planes):
+            tmp = planes[j] & carry
+            planes[j] = planes[j] ^ carry
+            carry = tmp
+    shifts8 = jnp.arange(8, dtype=jnp.uint8)
+    hits = jnp.zeros((B, two, w, 4, 8), dtype=jnp.int8)
+    for j in range(n_planes):
+        by = jax.lax.bitcast_convert_type(planes[j], jnp.uint8)  # LE bytes
+        bit = ((by[..., None] >> shifts8) & jnp.uint8(1)).astype(jnp.int8)
+        hits = hits + (bit << j)
+    hits = hits.reshape(B, two, w, 32).astype(jnp.int32)
+    col = (jnp.arange(w, dtype=jnp.int32)[:, None] * 32
+           + jnp.arange(32, dtype=jnp.int32)[None, :])
+    hits = jnp.where(col[None, None] < bound, hits, -1)
+    cm = hits.max(axis=3)
+    cc = (hits == cm[..., None]).sum(axis=3).astype(jnp.int32)
+    Tw = 128 if w >= 128 else -(-w // 8) * 8
+    wp = -(-w // Tw) * Tw
+    if wp != w:
+        cm = jnp.pad(cm, ((0, 0), (0, 0), (0, wp - w)), constant_values=-1)
+        cc = jnp.pad(cc, ((0, 0), (0, 0), (0, wp - w)), constant_values=32)
+    return cm, cc
 
 
 class CoarseMapper:
@@ -83,6 +238,17 @@ class CoarseMapper:
                  ).astype(np.uint8))
         self.sample_tab = jnp.asarray(
             sample_table(cfg.mapper_samples, cfg.read_len))
+        # chunk-scan backend: the fused Pallas kernel on TPU, plain jnp
+        # elsewhere (tests/dryruns run on CPU). BMTPU_COARSE=pallas|jnp
+        # overrides; BMTPU_PALLAS_INTERPRET=1 interprets the kernel.
+        env = os.environ.get("BMTPU_COARSE", "auto")
+        self._scan_interpret = \
+            os.environ.get("BMTPU_PALLAS_INTERPRET", "0") == "1"
+        if env in ("pallas", "jnp"):
+            self._scan_mode = env
+        else:
+            self._scan_mode = ("jnp" if jax.default_backend() == "cpu"
+                               else "pallas")
         # index arrays are passed as jit ARGUMENTS (not closure captures):
         # captured arrays become HLO constants, which recompile on every
         # index change and blow up remote-compile payloads.
@@ -112,13 +278,15 @@ class CoarseMapper:
         return self._query_impl(qgram_words, kmer_to_row, dist_tab,
                                 sample_tab, codes, qual_ok, lengths)
 
-    def _hits_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
-                   codes: jax.Array, qual_ok: jax.Array, lengths: jax.Array):
-        """Per-bucket hit counts for a batch — the word-parallel part of
-        the query, valid on a bucket-range SHARD of the index (pass the
-        local word columns; the candidate policy in _select_impl then
-        needs the global view). Returns (hits (B, 2, w*32) int8,
-        num_good (B,) int32, give_up (B,) bool)."""
+    def _presence_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
+                       codes: jax.Array, qual_ok: jax.Array,
+                       lengths: jax.Array):
+        """Per-sample bucket presence for a batch — the gather half of the
+        query, valid on a bucket-range SHARD of the index (pass the local
+        word columns). Each sample's presence word vector is the AND of
+        its k-q+1 q-gram occupancy rows (query, q_gram_mapper.h:398-407).
+        Returns (presence (B, 2, s, w) uint32, num_good (B,) int32,
+        give_up (B,) bool)."""
         cfg = self.cfg
         k, q = cfg.query_seed, cfg.index_seed
         s = cfg.mapper_samples
@@ -153,96 +321,84 @@ class CoarseMapper:
         samp_pos = jnp.take_along_axis(order, sel, axis=1)          # (B, s)
         samp_hash = jnp.take_along_axis(kmers, samp_pos, axis=1)    # (B, s)
 
-        both = jnp.stack([samp_hash, revcomp_hash(samp_hash, k, xp=jnp)], axis=1)
-        # AND the q-gram occupancy rows per sample, then count hits per
-        # bucket with BIT-SLICED counters: per-bucket counts live as
-        # ceil(log2(s+1)) uint32 bit-planes, added with a word-parallel
-        # carry chain — the per-sample presence never expands to bytes
-        # (32x less traffic than unpacking every sample's bits).
-        n_planes = s.bit_length()  # counters hold up to 2^n_planes - 1 >= s
-        planes = [jnp.zeros((B, 2, w), dtype=jnp.uint32) for _ in range(n_planes)]
+        both = jnp.stack([samp_hash, revcomp_hash(samp_hash, k, xp=jnp)],
+                         axis=1)
+        pres = []
         for s_i in range(s):
             h = both[:, :, s_i]                                      # (B, 2)
             presence = jnp.full((B, 2, w), 0xFFFFFFFF, dtype=jnp.uint32)
             for i in range(k - q + 1):
                 gram = (h >> jnp.uint32(2 * i)) & qbits
                 presence = presence & qgram_words[kmer_to_row[gram]]
-            carry = presence
-            for j in range(n_planes):
-                t = planes[j] & carry
-                planes[j] = planes[j] ^ carry
-                carry = t
-        # expand plane words to per-bucket counts via BYTES (bitcast u32 ->
-        # 4x u8) so the intermediates stay 1 byte/bucket — the direct u32
-        # shift would materialize 4 bytes/bucket/plane (OOMs at Gbp scale)
-        shifts8 = jnp.arange(8, dtype=jnp.uint8)
-        hits = jnp.zeros((B, 2, w, 4, 8), dtype=jnp.int8)
-        for j in range(n_planes):
-            by = jax.lax.bitcast_convert_type(planes[j], jnp.uint8)  # (B,2,w,4) LE
-            bit = ((by[..., None] >> shifts8) & jnp.uint8(1)).astype(jnp.int8)
-            hits = hits + (bit << j)
-        hits = hits.reshape(B, 2, w * 32)
-        return hits, num_good, give_up
+            pres.append(presence)
+        return jnp.stack(pres, axis=2), num_good, give_up
 
     # -------------------------------------------------------------------
-    CAND_CHUNK = 64  # bucket-chunk width for two-level candidate extraction
+    CAND_CHUNK = 32  # bucket-chunk width (one u32 word) for extraction
 
-    def _chunk_stats(self, hits, n, col0: int = 0):
-        """Mask out-of-range buckets and reduce per bucket-chunk.
+    def _chunk_scan(self, presence, bound):
+        """Counting + per-word chunk reduction (see _chunk_scan_pallas)."""
+        if self._scan_mode == "pallas":
+            return _chunk_scan_pallas(presence, bound,
+                                      interpret=self._scan_interpret)
+        return _chunk_scan_jnp(presence, bound)
 
-        Returns (hc (B,2,nc,cs) int8 masked hits, chunk_max (B,2,nc) int8,
-        local_max (B,2) int32)."""
-        B = hits.shape[0]
-        n_local = hits.shape[2]
-        cs = self.CAND_CHUNK
-        if n_local % cs:  # tiny worlds: pad to a whole chunk with -1
-            pad = cs - n_local % cs
-            hits = jnp.pad(hits, ((0, 0), (0, 0), (0, pad)),
-                           constant_values=-1)
-            n_local += pad
-        col = col0 + jnp.arange(n_local, dtype=jnp.int32)
-        in_range = col[None, None, :] < n
-        hits = jnp.where(in_range, hits, jnp.int8(-1))
-        hc = hits.reshape(B, 2, n_local // cs, cs)
-        chunk_max = hc.max(axis=3)
-        return hc, chunk_max, chunk_max.max(axis=2).astype(jnp.int32)
-
-    def _extract_at_max(self, hc, chunk_max, max_hits, live, n, col0: int = 0):
+    def _extract_at_max2(self, presence, chunk_max, max_hits, live, n,
+                         col0: int = 0):
         """Bucket ids at the (global) max hit count — two-level extraction.
 
-        A direct top_k over the (B, 2, n_pad) hits tensor dominates the
+        A direct top_k over a (B, 2, n_pad) hit tensor dominates the
         whole map step (measured 457 ms/batch at 26k buckets vs 76 ms
         for the scoring itself): XLA's TopK over 52k-wide rows is ~100x
         off bandwidth. Since live reads have <= C at-max buckets (more
         clears the read, q_gram_mapper.h:471-476), the at-max buckets
-        occupy <= C of the 64-bucket chunks: find those chunks with a
-        narrow top_k over the chunk-max reduction, gather only their hit
-        values, and extract positions with a local top_k over C*64
-        elements. Results identical to the direct extraction.
+        occupy <= C of the 32-bucket word-chunks: find those chunks with
+        a narrow top_k over the chunk-max scan, re-derive ONLY their 32
+        per-bucket counts from the gathered presence words (a C-word
+        gather + short carry chain — the full hit tensor never exists),
+        and extract positions with a local top_k over C*32 elements.
+        Results identical to a direct dense extraction.
 
         Returns cand (B,2,C) int32 — ascending global ids, -1 padded."""
         C = self.cfg.max_candidate_buckets
-        B, _, nc, cs = hc.shape
-        at_max8 = max_hits[..., None].astype(jnp.int8)
+        s = self.cfg.mapper_samples
+        B, _, nc = chunk_max.shape
+        at_max = max_hits[..., None]                              # (B,2,1)
 
-        # level 1: chunks containing an at-max bucket, smallest first
-        chunk_has = (chunk_max == at_max8) & live[..., None]
-        ckey = jnp.where(chunk_has,
-                         nc - jnp.arange(nc, dtype=jnp.int32)[None, None, :], 0)
+        # level 1: chunks containing an at-max bucket, ascending
+        chunk_has = (chunk_max == at_max) & live[..., None]
         kc = min(C, nc)
-        cvals, cidx = jax.lax.top_k(ckey, kc)                     # (B,2,kc)
-        cvalid = cvals > 0
-        cidx = jnp.where(cvalid, cidx, 0)
+        cidx, cvalid = _first_set_indices(chunk_has, kc)          # (B,2,kc)
 
-        # level 2: gather those chunks' hits, extract at-max positions
-        sub = jnp.take_along_axis(hc, cidx[..., None], axis=2)    # (B,2,kc,cs)
+        # level 2: gather the chosen chunks' presence words, recount
+        pw = jnp.take_along_axis(
+            presence, cidx[:, :, None, :],
+            axis=3)                                               # (B,2,s,kc)
+        n_planes = s.bit_length()
+        planes = [jnp.zeros(pw.shape[:2] + (kc,), jnp.uint32)
+                  for _ in range(n_planes)]
+        for s_i in range(s):
+            carry = pw[:, :, s_i, :]
+            for j in range(n_planes):
+                tmp = planes[j] & carry
+                planes[j] = planes[j] ^ carry
+                carry = tmp
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        sub = jnp.zeros((B, 2, kc, 32), jnp.int32)
+        for j in range(n_planes):
+            bit = ((planes[j][..., None] >> shifts)
+                   & jnp.uint32(1)).astype(jnp.int32)
+            sub = sub + (bit << j)
+        cs = self.CAND_CHUNK
         sub_col = col0 + (cidx[..., None] * cs
                           + jnp.arange(cs, dtype=jnp.int32))      # global ids
-        sub_at = (sub == at_max8[..., None]) & cvalid[..., None]
-        n_pad = col0 + nc * cs  # exclusive upper bound on this range's ids
-        skey = jnp.where(sub_at, n_pad - sub_col, 0).reshape(B, 2, -1)
-        vals, _ = jax.lax.top_k(skey, C)
-        return jnp.where(vals > 0, n_pad - vals, -1).astype(jnp.int32)
+        sub = jnp.where(sub_col < n, sub, -1)   # mask sentinel phantom bits
+        sub_at = (sub == at_max[..., None]) & cvalid[..., None]
+        # lanes are ordered (ascending chunk, ascending bit) = ascending
+        # global id, so first-C compaction = the C smallest at-max ids
+        pos, pvalid = _first_set_indices(sub_at.reshape(B, 2, -1), C)
+        cand = jnp.take_along_axis(sub_col.reshape(B, 2, -1), pos, axis=-1)
+        return jnp.where(pvalid, cand, -1).astype(jnp.int32)
 
     def _query_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
                     codes: jax.Array, qual_ok: jax.Array, lengths: jax.Array):
@@ -256,17 +412,18 @@ class CoarseMapper:
         """
         cfg = self.cfg
         n = self.n_buckets
-        hits, num_good, give_up = self._hits_impl(
+        presence, num_good, give_up = self._presence_impl(
             qgram_words, kmer_to_row, dist_tab, sample_tab, codes, qual_ok,
             lengths)
-
-        hc, chunk_max, max_hits = self._chunk_stats(hits, n)
+        chunk_max, chunk_cnt = self._chunk_scan(presence, jnp.int32(n))
+        max_hits = chunk_max.max(axis=2)                         # (B,2) i32
         ok = (max_hits >= cfg.min_coarse_hits) & ~give_up[:, None]
-        counts = ((hc == max_hits[:, :, None, None].astype(jnp.int8))
-                  & ok[..., None, None]).sum(axis=(2, 3)).astype(jnp.int32)
-        over = counts > cfg.max_candidate_buckets                   # clear (:471-476)
+        counts = jnp.where((chunk_max == max_hits[:, :, None])
+                           & ok[..., None], chunk_cnt, 0).sum(axis=2)
+        over = counts > cfg.max_candidate_buckets                # clear (:471-476)
         counts = jnp.where(over, 0, counts)
-        cand = self._extract_at_max(hc, chunk_max, max_hits, ok & ~over, n)
+        cand = self._extract_at_max2(presence, chunk_max, max_hits,
+                                     ok & ~over, n)
         return cand, counts, num_good
 
     # -------------------------------------------------------------------

@@ -420,7 +420,9 @@ class FineLocator:
         # lower-bound binary search per (pair, sample)
         lo = jnp.zeros((P, p), dtype=jnp.int32)
         hi = jnp.full((P, p), lpos, dtype=jnp.int32)
-        steps = max(1, (lpos - 1).bit_length())
+        # lower_bound over [0, lpos]: gap lpos -> 0 needs bit_length(lpos)
+        # halvings ((lpos-1).bit_length() is one short at powers of two)
+        steps = max(1, lpos.bit_length())
         bid = bucket_ids[:, None]
         for _ in range(steps):
             mid = (lo + hi) // 2

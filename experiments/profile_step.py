@@ -72,24 +72,28 @@ _x = jnp.zeros(8)
 timeit("0 latency floor    ", lambda v: v + 1, _x)
 
 
-hits_fn = jax.jit(co._hits_impl)
-hits, num_good, give_up = timeit("1 coarse hits      ", hits_fn,
-                                 *co._index_args(), jcodes, jqual_ok, jlens)
+pres_fn = jax.jit(co._presence_impl)
+presence, num_good, give_up = timeit("1 coarse presence  ", pres_fn,
+                                     *co._index_args(), jcodes, jqual_ok,
+                                     jlens)
+
+scan_fn = jax.jit(lambda p: co._chunk_scan(p, jnp.int32(co.n_buckets)))
+chunk_max, chunk_cnt = timeit("2 chunk scan       ", scan_fn, presence)
 
 
-def select(hits, num_good, give_up):
+def select(presence, chunk_max, chunk_cnt, give_up):
     n = co.n_buckets
-    hc, chunk_max, max_hits = co._chunk_stats(hits, n)
+    max_hits = chunk_max.max(axis=2)
     ok = (max_hits >= cfg.min_coarse_hits) & ~give_up[:, None]
-    counts = ((hc == max_hits[:, :, None, None].astype(jnp.int8))
-              & ok[..., None, None]).sum(axis=(2, 3)).astype(jnp.int32)
+    counts = jnp.where((chunk_max == max_hits[:, :, None]) & ok[..., None],
+                       chunk_cnt, 0).sum(axis=2)
     over = counts > C
-    cand = co._extract_at_max(hc, chunk_max, max_hits, ok & ~over, n)
+    cand = co._extract_at_max2(presence, chunk_max, max_hits, ok & ~over, n)
     return cand, jnp.where(over, 0, counts)
 
 
-cand, counts = timeit("2 candidate select ", jax.jit(select), hits, num_good,
-                      give_up)
+cand, counts = timeit("2b candidate select", jax.jit(select), presence,
+                      chunk_max, chunk_cnt, give_up)
 
 prep_fn = jax.jit(fi._prepare_impl)
 samp_hash, samp_idx = timeit("3 locator prepare  ", prep_fn, fi.sample_tab,
