@@ -1,0 +1,116 @@
+"""On-device construction of the positional fine index.
+
+The host-built fine tables (index/builder.py:build_fine_index) are
+~4 bytes per genome base — 6.8 GB for a 1.7 Gbp genome. Uploading them
+through the host->TPU link is the single largest startup cost (the
+link serializes on the host CPU; measured ~8 minutes for the bench
+index, the bulk of the round-2 "warmup"). But every byte of those
+tables is a pure function of the 2-bit packed bucket sequences
+(0.43 GB): fine_packed is the hash-stable-sorted (position, hash-low)
+per bucket and fine_ptab its 12-bit-prefix segment table.
+
+So build them ON the device: upload only buckets_packed, then per
+row-chunk unpack -> k-mer hashes -> lax.sort (stable, carrying
+positions) -> searchsorted prefix table, written into donated output
+buffers. One TPU sorts ~1.7 G u32 keys in seconds; the upload it
+replaces took minutes.
+
+Bit-exact with the host build: the host uses np.argsort(kind="stable")
+over hashes with a 0xFFFFFFFF invalid sentinel (builder.py:182-204);
+jax.lax.sort(is_stable=True) over the same keys carrying the position
+iota yields the identical slot order (verified in
+tests/test_device_build.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bucketmap_tpu.index.builder import BucketIndex
+from bucketmap_tpu.ops.encoding import kmer_hashes, unpack_2bit
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _build_chunk(packed_rows, lengths_rows, k: int, lb: int, low_bits: int):
+    """One row-chunk of the device fine-index build.
+
+    packed_rows: (R, Wb) uint32 2-bit bucket sequences; lengths_rows (R,).
+    Returns (fine_packed (R, Lpos) u32, fine_ptab (R, 4097) i32,
+    max_seg () i32).
+    """
+    lpos = lb - k + 1
+    codes = unpack_2bit(packed_rows, lb, xp=jnp)
+    h = kmer_hashes(codes, k, xp=jnp)                       # (R, Lpos) u32
+    pos = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    invalid = pos > (lengths_rows[:, None] - k)
+    # 2k <= 30 bits, so 0xFFFFFFFF can never be a real hash
+    h = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), h)
+    sh, spos = jax.lax.sort((h, pos), num_keys=1, is_stable=True,
+                            dimension=1)
+    sinvalid = sh == jnp.uint32(0xFFFFFFFF)
+    low_mask = jnp.uint32((1 << low_bits) - 1)
+    fine_packed = jnp.where(
+        sinvalid, jnp.uint32(0xFFFFFFFF),
+        (spos.astype(jnp.uint32) << jnp.uint32(low_bits)) & jnp.uint32(0xFFFFFFFF)
+        | (sh & low_mask))
+    prefix = jnp.where(sinvalid, jnp.int32(4096),
+                       (sh >> jnp.uint32(low_bits)).astype(jnp.int32))
+    pvals = jnp.arange(4097, dtype=jnp.int32)
+    ptab = jax.vmap(
+        lambda row: jnp.searchsorted(row, pvals, side="left"))(prefix)
+    max_seg = jnp.diff(ptab, axis=1).max()
+    return fine_packed, ptab.astype(jnp.int32), max_seg
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _write_chunk(fp_buf, pt_buf, fp_chunk, pt_chunk, row0):
+    fp_buf = jax.lax.dynamic_update_slice(fp_buf, fp_chunk, (row0, 0))
+    pt_buf = jax.lax.dynamic_update_slice(pt_buf, pt_chunk, (row0, 0))
+    return fp_buf, pt_buf
+
+
+def build_fine_index_on_device(index: BucketIndex, row_chunk: int = 2048):
+    """Device-resident (fine_packed, fine_ptab, search_steps, low_bits)
+    built from index.buckets_packed without any host fine tables.
+
+    Returns (fine_packed (N, Lpos) u32 DeviceArray, fine_ptab (N, 4097)
+    i32 DeviceArray, search_steps int, low_bits int), or None when the
+    packed encoding doesn't apply (same conditions as the host build:
+    0 <= 2k-12 <= 16 and positions fit 32-low_bits bits).
+    """
+    cfg = index.config
+    k = cfg.query_seed
+    if k >= 16:
+        return None
+    n = index.n_buckets
+    lb = index.buckets_packed.shape[1] * 16
+    lpos = lb - k + 1
+    low_bits = 2 * k - 12
+    if not (0 <= low_bits <= 16) or lpos > (1 << (32 - low_bits)):
+        return None
+
+    lengths = np.asarray(index.bucket_lengths)
+    fp = jnp.full((n, lpos), jnp.uint32(0xFFFFFFFF))
+    pt = jnp.full((n, 4097), jnp.int32(lpos))
+    max_seg = 1
+    for s in range(0, n, row_chunk):
+        e = min(s + row_chunk, n)
+        rows = np.asarray(index.buckets_packed[s:e])
+        lens = lengths[s:e]
+        if e - s < row_chunk:   # pad the tail chunk (one compile)
+            pad = row_chunk - (e - s)
+            rows = np.pad(rows, ((0, pad), (0, 0)))
+            lens = np.pad(lens, (0, pad))
+        fpc, ptc, ms = _build_chunk(jnp.asarray(rows),
+                                    jnp.asarray(lens, jnp.int32), k, lb,
+                                    low_bits)
+        if e - s < row_chunk:
+            fpc, ptc = fpc[: e - s], ptc[: e - s]
+        fp, pt = _write_chunk(fp, pt, fpc, ptc, s)
+        max_seg = max(max_seg, int(ms))
+    steps = int(max(1, max_seg)).bit_length()
+    return fp, pt, steps, low_bits

@@ -30,8 +30,13 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO):
-                subprocess.run(["make", "-C", _CSRC], check=True,
+            src = os.path.join(_CSRC, "bmtpu_io.cpp")
+            stale = (not os.path.exists(_SO)
+                     or os.path.getmtime(_SO) < os.path.getmtime(src))
+            if stale:
+                # always (re)build from source on this host — a stale or
+                # foreign-toolchain binary must never be silently trusted
+                subprocess.run(["make", "-B", "-C", _CSRC], check=True,
                                capture_output=True)
             lib = ctypes.CDLL(_SO)
             i64, i32, u8p, c_p = (ctypes.c_int64, ctypes.c_int32,

@@ -30,6 +30,8 @@ chip scales as 1/n_bucket_shards; see PERF.md for the GRCh38 budget.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +56,7 @@ class DeviceMapper:
         self.fine = FineLocator(index)
         self.mesh = mesh
         self.data_axis, self.bucket_axis = data_axis, bucket_axis
+        self._maybe_build_fine_on_device()
         if self.fine.has("fine_packed"):
             self._vote_path = "packed"
         elif self.fine.has("fine_ptab"):
@@ -70,6 +73,30 @@ class DeviceMapper:
             self._step = jax.jit(self._step_impl)
         else:
             self._init_mesh(mesh, pairs_per_read)
+
+    # ------------------------------------------------------------------
+    def _maybe_build_fine_on_device(self):
+        """Construct the fine tables ON the device from buckets_packed
+        instead of uploading multi-GB host arrays through the link
+        (index/device_build.py). Default on for single-device non-CPU
+        backends; BMTPU_DEVICE_FINE=1/0 forces/disables."""
+        env = os.environ.get("BMTPU_DEVICE_FINE", "auto")
+        if env == "0" or self.mesh is not None:
+            return
+        if env != "1" and jax.default_backend() == "cpu":
+            return  # host arrays transfer for free on CPU; keep tests on
+                    # the host-built tables unless forced
+        from bucketmap_tpu.index.device_build import build_fine_index_on_device
+        built = build_fine_index_on_device(self.index)
+        if built is None:
+            return
+        fp, pt, steps, low_bits = built
+        self.fine.fine_packed = fp
+        self.fine.fine_ptab = pt
+        self.fine.fine_low = None
+        self.fine.fine_pos = None
+        self.fine.search_steps = steps
+        self.fine.low_bits = low_bits
 
     # ------------------------------------------------------------------
     def _init_mesh(self, mesh, pairs_per_read):
