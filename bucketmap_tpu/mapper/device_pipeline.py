@@ -69,10 +69,23 @@ class DeviceMapper:
         if mesh is None:
             p = batch_size * pairs_per_read
             self.lane_budget = (p + vote_chunk - 1) // vote_chunk * vote_chunk
+            self.out_cap = self._pick_out_cap(batch_size)
             self._data_sharding = None
             self._step = jax.jit(self._step_impl)
         else:
             self._init_mesh(mesh, pairs_per_read)
+
+    def _pick_out_cap(self, rows: int) -> int:
+        """Accepted-lane download budget per (shard-local) batch: ~1
+        accepted location per read on real genomes (BASELINE.md: 1.11 -
+        1.15/read), so 2x rows is generous; overflow re-dispatches the
+        batch split in half like the lane budget does."""
+        cap = min(self.lane_budget, max(4 * self.cfg.max_candidate_buckets,
+                                        -(-2 * rows // 128) * 128))
+        # offset/votes pack into one int32: votes <= locator_samples *
+        # MAX_OCC must fit 8 bits, offsets 23 bits (max bucket ~8 Mbp)
+        assert self.cfg.locator_samples * FineLocator.MAX_OCC <= 255
+        return cap
 
     # ------------------------------------------------------------------
     def _maybe_build_fine_on_device(self):
@@ -83,9 +96,17 @@ class DeviceMapper:
         env = os.environ.get("BMTPU_DEVICE_FINE", "auto")
         if env == "0" or self.mesh is not None:
             return
-        if env != "1" and jax.default_backend() == "cpu":
-            return  # host arrays transfer for free on CPU; keep tests on
-                    # the host-built tables unless forced
+        if env != "1":
+            if jax.default_backend() == "cpu":
+                return  # host arrays transfer for free on CPU; keep tests
+                        # on the host-built tables unless forced
+            # only worth a device sort when the upload it replaces is big
+            # (tiny worlds keep their configured path and skip the
+            # build-kernel compile)
+            lb = self.index.buckets_packed.shape[1] * 16
+            est_bytes = 4 * self.index.n_buckets * lb
+            if est_bytes < (64 << 20):
+                return
         from bucketmap_tpu.index.device_build import build_fine_index_on_device
         built = build_fine_index_on_device(self.index)
         if built is None:
@@ -159,17 +180,12 @@ class DeviceMapper:
             "sorted": (P(ba, None), P(ba, None)),
             "scan": (P(ba, None), P(ba)),
         }[self._vote_path]
+        self.out_cap = self._pick_out_cap(self.batch_size // Dd)
         self._step = jax.jit(jax.shard_map(
             self._sharded_step_impl, mesh=mesh,
             in_specs=(P(None, ba), P(), P(), P(None, None), vote_specs,
                       P(None, None), P(da, None)),
-            out_specs={
-                "lane_read": P((da, ba)), "lane_rc": P((da, ba)),
-                "lane_bucket": P((da, ba)), "offset": P((da, ba)),
-                "votes": P((da, ba)), "accept": P((da, ba)),
-                "counts": P(da, None), "total_valid": P(),
-                "local_valid": P((da, ba)),
-            },
+            out_specs=P((da, ba)),
             check_vma=False))
 
     # ------------------------------------------------------------------
@@ -264,14 +280,80 @@ class DeviceMapper:
             samp_hash, samp_idx, lengths, lane_read, P)
         acc = acc & slot_ok
 
+        return self._pack_result(acc, sel, lane_bucket, off, votes,
+                                 total_valid, total_valid, counts)
+
+    def _pack_result(self, acc, sel, bucket, off, votes, total_valid,
+                     local_valid, counts, di=None):
+        """Compact the step result into ONE int32 vector — the download
+        link is latency+bandwidth bound (~25 ms + ~14 MB/s measured), so
+        dead lanes are compacted away on device and the host fetches a
+        single small array per dispatch instead of nine budget-sized
+        ones. Layout (decode_out is the inverse):
+          [0]=n_accept [1]=total_valid [2]=local_valid [3]=out_cap
+          [4]=data-shard index [5:8]=0
+          [8 : 8+2B]           counts (B, 2) int32
+          [8+2B : 8+2B+3*cap]  accepted lanes (cap, 3):
+                               [flat lane id, bucket, offset<<8 | votes]
+        """
+        P = acc.shape[0]
+        OC = self.out_cap
+        akey = jnp.where(acc, jnp.arange(P, dtype=jnp.int32), P)
+        aord = jnp.argsort(akey)[:OC]
+        n_acc = acc.sum().astype(jnp.int32)
+        out3 = jnp.stack(
+            [sel[aord].astype(jnp.int32), bucket[aord],
+             (off[aord] << 8) | jnp.clip(votes[aord], 0, 255)],
+            axis=1)
+        hdr = jnp.stack([n_acc, total_valid, local_valid, jnp.int32(OC),
+                         jnp.int32(0) if di is None else di,
+                         jnp.int32(0), jnp.int32(0), jnp.int32(0)])
+        return jnp.concatenate([hdr, counts.astype(jnp.int32).reshape(-1),
+                                out3.reshape(-1)])
+
+    def decode_out(self, vec: np.ndarray, rows: int | None = None):
+        """Host-side inverse of _pack_result. vec: the device_get of a
+        step result — one packed vector per device, concatenated along
+        axis 0 in mesh (data, bucket) order. Returns a dict:
+          lane_read/lane_rc/lane_bucket/offset/votes — accepted lanes
+          (global read rows), counts (B, 2), total_valid, local_valid
+          (per shard), n_accept (per shard)."""
+        vec = np.asarray(vec)
+        B = rows if rows is not None else self.batch_size
+        Dd = getattr(self, "Dd", 1)
+        Db = getattr(self, "Db", 1)
+        Bl = B // Dd
+        C = self.cfg.max_candidate_buckets
+        vl = 8 + 2 * Bl + 3 * self.out_cap
+        assert vec.shape[0] == Dd * Db * vl, (vec.shape, Dd, Db, vl)
+        counts = np.zeros((B, 2), np.int32)
+        reads, rcs, buckets, offs, votes = [], [], [], [], []
+        n_accept = np.zeros(Dd * Db, np.int32)
+        local_valid = np.zeros(Dd * Db, np.int32)
+        total_valid = 0
+        for d in range(Dd * Db):
+            v = vec[d * vl : (d + 1) * vl]
+            di, bi = d // Db, d % Db
+            na, total_valid, lv = int(v[0]), int(v[1]), int(v[2])
+            n_accept[d], local_valid[d] = na, lv
+            if bi == 0:  # counts replicated across bucket shards
+                counts[di * Bl : (di + 1) * Bl] = v[8 : 8 + 2 * Bl].reshape(Bl, 2)
+            out3 = v[8 + 2 * Bl :].reshape(self.out_cap, 3)[: min(na, self.out_cap)]
+            reads.append(di * Bl + out3[:, 0] // (2 * C))
+            rcs.append((out3[:, 0] // C) % 2 == 1)
+            buckets.append(out3[:, 1])
+            offs.append(out3[:, 2] >> 8)
+            votes.append(out3[:, 2] & 0xFF)
         return {
-            "lane_read": lane_read, "lane_rc": lane_rc,
-            "lane_bucket": lane_bucket,
-            "offset": off, "votes": votes,
-            "accept": acc,
-            "counts": counts.astype(jnp.int16),
+            "lane_read": np.concatenate(reads),
+            "lane_rc": np.concatenate(rcs),
+            "lane_bucket": np.concatenate(buckets),
+            "offset": np.concatenate(offs),
+            "votes": np.concatenate(votes),
+            "counts": counts,
             "total_valid": total_valid,
-            "local_valid": total_valid[None],
+            "local_valid": local_valid,
+            "n_accept": n_accept,
         }
 
     # ------------------------------------------------------------------
@@ -355,15 +437,8 @@ class DeviceMapper:
 
         total_valid = jax.lax.psum(local_valid,
                                    (self.data_axis, self.bucket_axis))
-        return {
-            "lane_read": di * B + lane_read, "lane_rc": lane_rc,
-            "lane_bucket": bucket_g,
-            "offset": off, "votes": votes,
-            "accept": acc,
-            "counts": counts.astype(jnp.int16),
-            "total_valid": total_valid,
-            "local_valid": local_valid[None],
-        }
+        return self._pack_result(acc, sel, bucket_g, off, votes,
+                                 total_valid, local_valid, counts, di=di)
 
     # ------------------------------------------------------------------
     def step(self, codes: np.ndarray, quals: np.ndarray, lengths: np.ndarray):

@@ -94,11 +94,12 @@ class MapStats:
 class BucketMapPipeline:
     def __init__(self, index: BucketIndex, align: bool = False,
                  batch_size: int = 512, pair_batch: int = 256,
-                 pairs_per_read: int = 4, mesh=None):
+                 pairs_per_read: int = 4, mesh=None, prefetch: int = 4):
         self.index = index
         self.cfg = index.config
         self.align = align
         self.batch_size = batch_size
+        self.prefetch = max(1, prefetch)
         from bucketmap_tpu.mapper.device_pipeline import DeviceMapper
         self.device = DeviceMapper(index, batch_size=batch_size,
                                    pairs_per_read=pairs_per_read,
@@ -204,22 +205,45 @@ class BucketMapPipeline:
                     e = e_adj
             bounds.append((s, e))
             s = e
-        dispatches = [(s, e, self._dispatch(codes, quals, seg_len, s, e))
-                      for s, e in bounds]
         stats.coarse_seconds += time.perf_counter() - t0
 
-        reads_with_cand = np.zeros(n, dtype=bool)
-        for s, e, out in dispatches:
+        # Sliding dispatch window: keep `prefetch` batches in flight so
+        # host packing of batch i+k overlaps device compute of batch i
+        # (eager full dispatch would front-load ~5 s of packing before
+        # the first collect at 1M-read scale).
+        prefetch = self.prefetch
+        inflight: list[tuple[int, int, object]] = []
+        next_b = 0
+
+        def _fill():
+            nonlocal next_b
             t0 = time.perf_counter()
-            host = jax.device_get(out)
+            while next_b < len(bounds) and len(inflight) < prefetch:
+                sb, eb = bounds[next_b]
+                inflight.append((sb, eb,
+                                 self._dispatch(codes, quals, seg_len, sb, eb)))
+                next_b += 1
+            stats.coarse_seconds += time.perf_counter() - t0
+
+        reads_with_cand = np.zeros(n, dtype=bool)
+        _fill()
+        while inflight:
+            s, e, out = inflight.pop(0)
+            t0 = time.perf_counter()
+            host = self.device.decode_out(np.asarray(jax.device_get(out)))
+            stats.fine_seconds += time.perf_counter() - t0
+            _fill()  # refill the window before host-side extraction
+            t0 = time.perf_counter()
             stats.candidate_pairs += int(host["total_valid"])
             counts = host["counts"][: e - s]
             reads_with_cand[seg_read[s + np.nonzero(counts.sum(axis=1) > 0)[0]]] = True
 
-            if int(host["local_valid"].max()) > self.device.lane_budget:
-                # lane-budget overflow (heavily repetitive genomes): redo
-                # this batch split in half — per-read budget doubles per
-                # split, stays on the (possibly sharded) fused path
+            if (int(host["local_valid"].max()) > self.device.lane_budget
+                    or int(host["n_accept"].max()) > self.device.out_cap):
+                # lane/output budget overflow (heavily repetitive
+                # genomes): redo this batch split in half — per-read
+                # budget doubles per split, stays on the (possibly
+                # sharded) fused path
                 chunks = self._locate_split(batch, seg_read, seg_off,
                                             seg_len, codes, quals, s, e)
             else:
@@ -274,20 +298,19 @@ class BucketMapPipeline:
         return self.device.step(c, q, sl)
 
     def _extract_chunk(self, host, s, e, batch, seg_read, seg_off, seg_len):
-        """Accepted lanes of one dispatch -> location arrays in read
-        coordinates (fold-back, bucket_locator.h:671-693)."""
-        acc_idx = np.nonzero(host["accept"])[0]
-        srow = s + host["lane_read"][acc_idx]
+        """Accepted lanes of one decoded dispatch -> location arrays in
+        read coordinates (fold-back, bucket_locator.h:671-693)."""
+        srow = s + host["lane_read"]
         keep = srow < e  # drop padded segment rows
-        acc_idx, srow = acc_idx[keep], srow[keep]
+        srow = srow[keep]
         r = seg_read[srow]
         so = seg_off[srow]
         sl = seg_len[srow]
-        x = host["offset"][acc_idx]
-        rc = host["lane_rc"][acc_idx]
+        x = host["offset"][keep]
+        rc = host["lane_rc"][keep]
         read_off = np.where(rc, x - (batch.lengths[r] - so - sl), x - so)
-        return (r, host["lane_bucket"][acc_idx].astype(np.int64),
-                read_off.astype(np.int64), host["votes"][acc_idx],
+        return (r, host["lane_bucket"][keep].astype(np.int64),
+                read_off.astype(np.int64), host["votes"][keep],
                 ~rc, so)
 
     def _locate_split(self, batch, seg_read, seg_off, seg_len,
@@ -301,8 +324,11 @@ class BucketMapPipeline:
         for a, b in parts:
             if a == b:
                 continue
-            host = jax.device_get(self._dispatch(codes, quals, seg_len, a, b))
-            if int(host["local_valid"].max()) > self.device.lane_budget \
+            host = self.device.decode_out(
+                np.asarray(jax.device_get(
+                    self._dispatch(codes, quals, seg_len, a, b))))
+            if (int(host["local_valid"].max()) > self.device.lane_budget
+                    or int(host["n_accept"].max()) > self.device.out_cap) \
                     and b - a > 1:
                 chunks.extend(self._locate_split(batch, seg_read, seg_off,
                                                  seg_len, codes, quals, a, b))
@@ -318,10 +344,17 @@ class BucketMapPipeline:
 
     def map_reads(self, batch: ReadBatch, sam_path,
                   quality_threshold: int | None = None) -> MapStats:
-        """Locate + merge + SAM-emit, STREAMED per device dispatch: the
-        host merge/format/write of chunk i overlaps the device compute
-        of chunks i+1... (the reference runs these phases strictly
-        sequentially, bucket_locator.h:455-611)."""
+        """Locate + merge + SAM-emit, STREAMED per device dispatch with a
+        dedicated writer thread: the collection loop stays blocked on
+        the device link while merge/format/write of earlier chunks runs
+        on the writer (numpy + native-C formatting release the GIL). The
+        reference runs these phases strictly sequentially
+        (bucket_locator.h:455-611); round 2 interleaved them on one
+        thread, which serialized host output against collection on slow
+        hosts. output_seconds is writer-thread time (overlapped)."""
+        import queue
+        import threading
+
         from bucketmap_tpu.utils.debug import maybe_trace
 
         cfg = self.cfg
@@ -329,12 +362,37 @@ class BucketMapPipeline:
         writer = SamWriter(sam_path, [n for n in self.index.ref_names],
                            self.index.sam_ref_lengths())
         qt = cfg.quality_threshold if quality_threshold is None else quality_threshold
-        with maybe_trace():  # BMTPU_PROFILE=<dir> -> jax.profiler trace
-            for chunk in self.locate_chunks(batch, stats):
-                t0 = time.perf_counter()
-                self._emit_locations(writer, batch, chunk, qt, stats)
-                stats.output_seconds += time.perf_counter() - t0
-        writer.close()
+
+        q: queue.Queue = queue.Queue(maxsize=max(2, self.prefetch))
+        werr: list[BaseException] = []
+
+        def _writer_loop():
+            while True:
+                chunk = q.get()
+                if chunk is None:
+                    return
+                try:
+                    t0 = time.perf_counter()
+                    self._emit_locations(writer, batch, chunk, qt, stats)
+                    stats.output_seconds += time.perf_counter() - t0
+                except BaseException as e:  # propagate to the main thread
+                    werr.append(e)
+                    return
+
+        thr = threading.Thread(target=_writer_loop, name="bmtpu-sam-writer")
+        thr.start()
+        try:
+            with maybe_trace():  # BMTPU_PROFILE=<dir> -> jax.profiler trace
+                for chunk in self.locate_chunks(batch, stats):
+                    if werr:
+                        break
+                    q.put(chunk)
+        finally:
+            q.put(None)
+            thr.join()
+            writer.close()
+        if werr:
+            raise werr[0]
         return stats
 
     def _emit_locations(self, writer, batch, chunk, qt, stats):

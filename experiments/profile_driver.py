@@ -70,10 +70,11 @@ for i, out in enumerate(outs):
     jax.block_until_ready(out)
     t_wait += time.perf_counter() - t0
     t0 = time.perf_counter()
-    host = jax.device_get(out)
+    vec = np.asarray(jax.device_get(out))
     t_get += time.perf_counter() - t0
-    n_bytes += sum(np.asarray(v).nbytes for v in host.values())
+    n_bytes += vec.nbytes
     t0 = time.perf_counter()
+    host = pipe.device.decode_out(vec)
     chunk = pipe._extract_chunk(host, i * B, (i + 1) * B, sub, seg_read,
                                 seg_off, seg_len)
     r, bk, off, votes, orig, so = (np.asarray(c) for c in chunk)

@@ -35,5 +35,5 @@ def run(nb, tag):
 
 run(2, "warmup")
 outs = run(NB, "steady ")
-acc = sum(int(np.asarray(o["accept"]).sum()) for o in outs)
+acc = sum(int(np.asarray(o)[0]) for o in outs)  # hdr[0] = n_accept
 print(f"accepted {acc} locations / {NB*B} reads")

@@ -60,14 +60,13 @@ packed_global = jax.make_array_from_process_local_data(sharding, packed_local)
 out = m.step_global(packed_global)
 from jax.experimental import multihost_utils  # noqa: E402
 
-host = {k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
-        for k, v in out.items()}
-idx = np.nonzero(host["accept"])[0]
-accepted = sorted(zip(host["lane_read"][idx].tolist(),
-                      host["lane_bucket"][idx].tolist(),
-                      host["lane_rc"][idx].tolist(),
-                      host["offset"][idx].tolist(),
-                      host["votes"][idx].tolist()))
+vec = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+host = m.decode_out(vec)
+accepted = sorted(zip(host["lane_read"].tolist(),
+                      host["lane_bucket"].tolist(),
+                      host["lane_rc"].astype(int).tolist(),
+                      host["offset"].tolist(),
+                      host["votes"].tolist()))
 with open(os.path.join(out_dir, f"accepted_{pid}.txt"), "w") as f:
     for row in accepted:
         f.write(" ".join(str(int(v)) for v in row) + "\n")

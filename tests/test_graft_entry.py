@@ -12,8 +12,8 @@ def test_entry_compiles_and_runs():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert np.asarray(out["accept"]).shape[0] == 8 * 4  # pair budget lanes
-    assert np.asarray(out["accept"]).sum() > 0
+    vec = np.asarray(out)
+    assert vec[0] > 0  # n_accept: the step accepted at least one location
 
 
 def test_dryrun_multichip_8():

@@ -34,8 +34,8 @@ def test_two_process_distributed_map(tmp_path):
     codes, quals, lengths, _ = _reads(sim, cfg, B)
     single = DeviceMapper(index, batch_size=B, pairs_per_read=16,
                           vote_chunk=B)
-    expected = sorted(_accepted(jax.device_get(
-        single.step(codes, quals, lengths))))
+    expected = sorted(_accepted(single.decode_out(
+        np.asarray(jax.device_get(single.step(codes, quals, lengths))))))
 
     port = _free_port()
     env = {k: v for k, v in os.environ.items()

@@ -42,12 +42,11 @@ def _reads(sim, cfg, n):
 
 
 def _accepted(h):
-    idx = np.nonzero(np.asarray(h["accept"]))[0]
-    return set(zip(np.asarray(h["lane_read"])[idx].tolist(),
-                   np.asarray(h["lane_bucket"])[idx].tolist(),
-                   np.asarray(h["lane_rc"])[idx].tolist(),
-                   np.asarray(h["offset"])[idx].tolist(),
-                   np.asarray(h["votes"])[idx].tolist()))
+    return set(zip(np.asarray(h["lane_read"]).tolist(),
+                   np.asarray(h["lane_bucket"]).tolist(),
+                   np.asarray(h["lane_rc"]).tolist(),
+                   np.asarray(h["offset"]).tolist(),
+                   np.asarray(h["votes"]).tolist()))
 
 
 @pytest.mark.parametrize("fine", [True, False])
@@ -59,9 +58,9 @@ def test_sharded_step_equals_single_device(fine):
     m = DeviceMapper(index, batch_size=B, pairs_per_read=16, vote_chunk=B,
                      mesh=mesh)
     s = DeviceMapper(index, batch_size=B, pairs_per_read=16, vote_chunk=B)
-    hm = jax.device_get(m.step(codes, quals, lengths))
-    hs = jax.device_get(s.step(codes, quals, lengths))
-    assert int(np.asarray(hm["local_valid"]).max()) <= m.lane_budget
+    hm = m.decode_out(np.asarray(jax.device_get(m.step(codes, quals, lengths))))
+    hs = s.decode_out(np.asarray(jax.device_get(s.step(codes, quals, lengths))))
+    assert int(hm["local_valid"].max()) <= m.lane_budget
     assert _accepted(hm) == _accepted(hs)
     np.testing.assert_array_equal(hm["counts"], hs["counts"])
     assert int(hm["total_valid"]) == int(hs["total_valid"])
