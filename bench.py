@@ -32,15 +32,30 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GENOME_MBP = float(os.environ.get("BMTPU_BENCH_GENOME_MBP", "1700"))
-NUM_READS = int(os.environ.get("BMTPU_BENCH_READS", "1000000"))
+LONG = os.environ.get("BMTPU_BENCH_LONG", "0") == "1"
+NUM_READS = int(os.environ.get("BMTPU_BENCH_READS",
+                               "100000" if LONG else "1000000"))
 BATCH = int(os.environ.get("BMTPU_BENCH_BATCH", "8192"))
 ALIGN = os.environ.get("BMTPU_BENCH_ALIGN", "0") == "1"
 UNIFORM = os.environ.get("BMTPU_BENCH_UNIFORM", "0") == "1"
+# FracMinHash fraction of q-grams kept in the coarse index (-f). The
+# reference ships a GRCh38 f=0.25 variant (log/bucketmap_fracMinHash_map.log)
+# — the 3.1 Gbp single-chip config uses it.
+FRAC = float(os.environ.get("BMTPU_BENCH_FRAC", "1.0"))
+# host-built fine index (round-2 flow: 6.8 GB artifact uploaded through
+# the link). Default 0: the fine index is built ON DEVICE from the
+# packed genome at pipeline init (index/device_build.py).
+HOST_FINE = os.environ.get("BMTPU_BENCH_HOST_FINE", "0") == "1"
 CACHE = os.environ.get("BMTPU_BENCH_CACHE", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_cache"))
 # align-free: 1M reads / 320.95 s; align: 1M / 426.78 s (benchmark/README.md:168-169)
 BASELINE_READS_PER_SEC_NOALIGN = 3116.0
 BASELINE_READS_PER_SEC_ALIGN = 2343.1
+# long-read mode: the reference's committed long-read runs all failed
+# (log/bucketmap_map.time: exit 255 in 0.02 s), so there is no reference
+# long-read time; vs_baseline is reported in BASES/s against the
+# align-free short-read baseline (3116 reads/s x 300 bp).
+BASELINE_BASES_PER_SEC = BASELINE_READS_PER_SEC_NOALIGN * 300.0
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

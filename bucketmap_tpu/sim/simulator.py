@@ -251,8 +251,9 @@ def random_genome(length: int, seed: int = 0, n_refs: int = 1,
 
 
 def repeat_genome(length: int, seed: int = 0, n_refs: int = 1,
-                  dup_frac: float = 0.08, mobile_frac: float = 0.04,
+                  dup_frac: float = 0.12, mobile_frac: float = 0.07,
                   tandem_frac: float = 0.01, divergence: float = 0.02,
+                  identical_frac: float = 0.55,
                   name_prefix: str = "synthrep") -> list[FastaRecord]:
     """Synthetic genome with repeat structure (a uniform-random genome is
     too easy: 1.00006 candidate pairs/read vs. the reference's 1.14-2.7
@@ -260,18 +261,27 @@ def repeat_genome(length: int, seed: int = 0, n_refs: int = 1,
 
     Three repeat classes layered onto a random backbone:
       * segmental duplications: ~dup_frac of the genome overwritten with
-        copies of 2-20 kb segments from elsewhere, each copy mutated at
-        `divergence` per-base (like recent SDs);
+        copies of 2-20 kb segments from elsewhere (like recent SDs);
       * interspersed mobile elements: a small library of 300-3000 bp
-        elements pasted many times at `divergence` (LINE/SINE-like) —
-        the main driver of multi-mapping reads;
+        elements pasted many times (LINE/SINE-like) — the main driver
+        of multi-mapping reads;
       * short tandem arrays: 2-100 bp units tiled into 0.2-2 kb arrays
         (microsatellite-like) — stresses occurrence multiplicity.
+
+    Each dup/mobile copy is pasted UNMUTATED with probability
+    `identical_frac`, else mutated at `divergence` per-base. Identical
+    copies are what produce genuine multi-location reads: a diverged
+    copy loses the coarse stage's at-max-hit-count tie (best_results,
+    q_gram_mapper.h:90-102) against the original and never reaches the
+    locator, so with divergence-only repeats locations/read stays ~1.0
+    (round-2 bench: 1.0131 vs the reference's 1.14538 on Egu.v3).
     """
     rng = np.random.RandomState(seed)
     per = length // n_refs
 
     def mutate(seg: np.ndarray) -> np.ndarray:
+        if rng.random_sample() < identical_frac:
+            return seg
         m = rng.random_sample(len(seg)) < divergence
         if m.any():
             seg = seg.copy()
