@@ -251,9 +251,9 @@ def random_genome(length: int, seed: int = 0, n_refs: int = 1,
 
 
 def repeat_genome(length: int, seed: int = 0, n_refs: int = 1,
-                  dup_frac: float = 0.12, mobile_frac: float = 0.07,
+                  dup_frac: float = 0.20, mobile_frac: float = 0.07,
                   tandem_frac: float = 0.01, divergence: float = 0.02,
-                  identical_frac: float = 0.55,
+                  identical_frac: float = 0.60,
                   name_prefix: str = "synthrep") -> list[FastaRecord]:
     """Synthetic genome with repeat structure (a uniform-random genome is
     too easy: 1.00006 candidate pairs/read vs. the reference's 1.14-2.7
@@ -268,19 +268,24 @@ def repeat_genome(length: int, seed: int = 0, n_refs: int = 1,
       * short tandem arrays: 2-100 bp units tiled into 0.2-2 kb arrays
         (microsatellite-like) — stresses occurrence multiplicity.
 
-    Each dup/mobile copy is pasted UNMUTATED with probability
+    Each SEGMENTAL-DUP copy is pasted UNMUTATED with probability
     `identical_frac`, else mutated at `divergence` per-base. Identical
-    copies are what produce genuine multi-location reads: a diverged
-    copy loses the coarse stage's at-max-hit-count tie (best_results,
-    q_gram_mapper.h:90-102) against the original and never reaches the
-    locator, so with divergence-only repeats locations/read stays ~1.0
-    (round-2 bench: 1.0131 vs the reference's 1.14538 on Egu.v3).
+    2-copy dups are what produce genuine multi-location reads: a
+    diverged copy loses the coarse stage's at-max-hit-count tie
+    (best_results, q_gram_mapper.h:90-102) against the original and
+    never reaches the locator, so with divergence-only repeats
+    locations/read stays ~1.0 (round-2 bench: 1.0131 vs the reference's
+    1.14538 on Egu.v3). Mobile elements are ALWAYS diverged: an
+    identical ~9000-copy family would push every read inside it past
+    the 30-candidate cap and clear it (q_gram_mapper.h:471-476) — real
+    LINE/SINE families are old and diverged; only recent SDs are
+    near-identical.
     """
     rng = np.random.RandomState(seed)
     per = length // n_refs
 
-    def mutate(seg: np.ndarray) -> np.ndarray:
-        if rng.random_sample() < identical_frac:
+    def mutate(seg: np.ndarray, can_be_identical: bool = False) -> np.ndarray:
+        if can_be_identical and rng.random_sample() < identical_frac:
             return seg
         m = rng.random_sample(len(seg)) < divergence
         if m.any():
@@ -318,7 +323,7 @@ def repeat_genome(length: int, seed: int = 0, n_refs: int = 1,
             seg = codes[src : src + seg_len].copy()
             if rng.randint(2):
                 seg = revcomp_codes(seg)
-            codes[dst : dst + seg_len] = mutate(seg)
+            codes[dst : dst + seg_len] = mutate(seg, can_be_identical=True)
             covered += seg_len
 
         covered = 0
