@@ -158,7 +158,14 @@ class BandedAligner:
         (fin_i, fin_d, ops), _ = jax.lax.scan(
             tb_step, (qlen, end_d, ops0), jnp.arange(max_ops))
         begin = fin_d - LO                                   # j at i == 0
-        return score, begin, ops
+        # op codes are 2 bits; pack 16/word so the download is 1/4 the
+        # bytes (the host link runs at ~14 MB/s)
+        ow = -(-max_ops // 16)
+        opsp = jnp.pad(ops, ((0, 0), (0, ow * 16 - max_ops)))
+        opsp = opsp.reshape(P, ow, 16).astype(jnp.uint32)
+        shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+        packed = (opsp << shifts[None, None, :]).sum(axis=2).astype(jnp.uint32)
+        return score, begin, packed
 
     # ------------------------------------------------------------------
     def align_batch(self, qcodes: np.ndarray, qlen, bucket_ids, offsets, is_rc):
@@ -172,22 +179,27 @@ class BandedAligner:
         ).astype(np.int32)
         out_s = np.zeros(n, np.int32)
         out_b = np.zeros(n, np.int32)
-        out_ops = np.zeros((n, q + 2 * LO), np.uint8)
+        max_ops = q + 2 * LO
+        ow = -(-max_ops // 16)
+        out_ops = np.zeros((n, max_ops), np.uint8)
         pb = self.pair_batch
+        shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
         for s in range(0, n, pb):
             e = min(s + pb, n)
             pad = pb - (e - s)
             def _p(a, fill=0):
                 a = np.asarray(a[s:e])
                 return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
-            sc, bg, ops = self._align(
+            sc, bg, packed = self._align(
                 self.buckets_packed,
                 jnp.asarray(_p(qcodes)), jnp.asarray(_p(qlen, 1), dtype=jnp.int32),
                 jnp.asarray(_p(bucket_ids)), jnp.asarray(_p(offsets)),
                 jnp.asarray(_p(is_rc)), jnp.asarray(_p(width, 1)))
             out_s[s:e] = np.asarray(sc)[: e - s]
             out_b[s:e] = np.asarray(bg)[: e - s]
-            out_ops[s:e] = np.asarray(ops)[: e - s]
+            pk = np.asarray(packed)[: e - s]                # (rows, ow) u32
+            ops = ((pk[:, :, None] >> shifts) & 3).astype(np.uint8)
+            out_ops[s:e] = ops.reshape(e - s, ow * 16)[:, :max_ops]
         return out_s, out_b, out_ops
 
 
