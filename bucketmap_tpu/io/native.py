@@ -52,6 +52,10 @@ def _load():
             lib.bmtpu_fastq_parse.argtypes = [
                 c_p, i64, i64, u8p, u8p, u8p, u8p, i32p, i64p,
                 np.ctypeslib.ndpointer(np.uint8), i64]
+            lib.bmtpu_pack_reads.restype = None
+            lib.bmtpu_pack_reads.argtypes = [
+                i64, i64, u8p, u8p, i32p, i64, i64,
+                np.ctypeslib.ndpointer(np.uint32)]
             lib.bmtpu_format_sam.restype = i64
             lib.bmtpu_format_sam.argtypes = [
                 i64, i32p, i64p, np.ctypeslib.ndpointer(np.uint8),
@@ -96,6 +100,24 @@ def parse_fastq_bytes(data: bytes, max_len: int | None = None):
         raise ValueError("malformed FASTQ (native parser, pass 2)")
     return (ids_buf[:r].copy(), id_offsets, codes, quals, lengths,
             seq_ascii, qual_ascii)
+
+
+def pack_reads(codes, quals, lengths, k: int, min_kmer_quality: int):
+    """Native batched transfer packing (encoding.pack_reads twin) ->
+    (B, cw+qw+1) uint32, or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    quals = np.ascontiguousarray(quals, np.uint8)
+    B, L = codes.shape
+    cw = (L + 15) // 16
+    qw = (L - k + 1 + 31) // 32
+    out = np.empty((B, cw + qw + 1), np.uint32)
+    lib.bmtpu_pack_reads(B, L, codes, quals,
+                         np.ascontiguousarray(lengths, np.int32),
+                         k, min_kmer_quality, out)
+    return out
 
 
 def format_sam_records(qid, id_offsets, ids_buf, flag, rid, rname_offsets,

@@ -445,10 +445,16 @@ class DeviceMapper:
         """Async dispatch; returns device outputs (don't block).
 
         Reads are packed host-side into the compact transfer layout
-        (encoding.pack_reads) — ~5x fewer bytes over the link."""
-        packed = pack_reads(codes, quals, np.asarray(lengths),
-                            self.cfg.query_seed,
-                            self.cfg.mapper_min_kmer_quality)
+        (encoding.pack_reads; native C twin when available — the numpy
+        pack costs ~40 ms/batch at B=8192, the C loop ~3 ms)."""
+        from bucketmap_tpu.io import native
+        packed = native.pack_reads(codes, quals, np.asarray(lengths),
+                                   self.cfg.query_seed,
+                                   self.cfg.mapper_min_kmer_quality)
+        if packed is None:
+            packed = pack_reads(codes, quals, np.asarray(lengths),
+                                self.cfg.query_seed,
+                                self.cfg.mapper_min_kmer_quality)
         return self.step_packed(packed)
 
     def step_packed(self, packed: np.ndarray):

@@ -112,6 +112,44 @@ int64_t bmtpu_fastq_parse(const char* buf, int64_t size, int64_t max_len,
     return idpos;
 }
 
+// Pack a batch of reads into the device transfer layout (the native
+// twin of encoding.pack_reads — identical output): per row
+//   [cw words: 2-bit codes, 16 bases/word LSB-first |
+//    qw words: k-window quality-gate bitmask (sum of phred ranks over
+//              each k-window >= min_q) | 1 word: length].
+// codes/quals: (n, L) uint8, rows zero-padded past length (windows over
+// padding are computed like the numpy version; callers mask by length).
+void bmtpu_pack_reads(int64_t n, int64_t L, const unsigned char* codes,
+                      const unsigned char* quals, const int32_t* lengths,
+                      int64_t k, int64_t min_q, uint32_t* out) {
+    const int64_t cw = (L + 15) / 16;
+    const int64_t K = L - k + 1;
+    const int64_t qw = (K + 31) / 32;
+    const int64_t stride = cw + qw + 1;
+    for (int64_t r = 0; r < n; r++) {
+        const unsigned char* crow = codes + r * L;
+        const unsigned char* qrow = quals + r * L;
+        uint32_t* orow = out + r * stride;
+        for (int64_t w = 0; w < cw; w++) {
+            uint32_t v = 0;
+            const int64_t base = w * 16;
+            const int64_t lim = (base + 16 <= L) ? 16 : L - base;
+            for (int64_t j = 0; j < lim; j++)
+                v |= (uint32_t)(crow[base + j] & 3) << (2 * j);
+            orow[w] = v;
+        }
+        uint32_t* qout = orow + cw;
+        for (int64_t w = 0; w < qw; w++) qout[w] = 0;
+        int64_t sum = 0;
+        for (int64_t j = 0; j < k && j < L; j++) sum += qrow[j];
+        for (int64_t i = 0; i < K; i++) {
+            if (sum >= min_q) qout[i >> 5] |= (uint32_t)1 << (i & 31);
+            if (i + 1 < K) sum += (int64_t)qrow[i + k] - (int64_t)qrow[i];
+        }
+        orow[cw + qw] = (uint32_t)lengths[r];
+    }
+}
+
 // Format SAM alignment records into `out` (capacity out_cap).
 //   n records; per-record fields:
 //     qname: ids_buf + id_offsets[qid[i]] .. id_offsets[qid[i]+1]

@@ -97,3 +97,26 @@ def test_kmer_hashes_jnp_matches_numpy():
     h = enc.kmer_hashes(codes, 12)
     got_rc = np.asarray(enc.revcomp_hash(jnp.asarray(h), 12, xp=jnp))
     np.testing.assert_array_equal(got_rc, enc.revcomp_hash(h, 12))
+
+
+def test_native_pack_reads_matches_numpy():
+    """csrc/bmtpu_io.cpp:bmtpu_pack_reads is a bit-identical twin of
+    encoding.pack_reads (the device transfer layout)."""
+    import pytest
+
+    from bucketmap_tpu.io import native
+    from bucketmap_tpu.ops.encoding import pack_reads
+
+    if not native.available():
+        pytest.skip("native IO library unavailable")
+    rng = np.random.default_rng(7)
+    for B, L, k, mq in [(33, 300, 12, 300), (8, 50, 9, 0), (5, 128, 12, 64)]:
+        codes = rng.integers(0, 4, (B, L), dtype=np.uint8)
+        quals = rng.integers(0, 42, (B, L), dtype=np.uint8)
+        lengths = rng.integers(k, L + 1, B).astype(np.int64)
+        col = np.arange(L)
+        codes = np.where(col < lengths[:, None], codes, 0).astype(np.uint8)
+        quals = np.where(col < lengths[:, None], quals, 0).astype(np.uint8)
+        a = pack_reads(codes, quals, lengths, k, mq)
+        b = native.pack_reads(codes, quals, lengths, k, mq)
+        assert a.shape == b.shape and (a == b).all()
