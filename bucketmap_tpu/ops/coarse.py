@@ -47,6 +47,50 @@ def min_good_kmers(cfg: MapperConfig) -> int:
     return math.ceil(0.2 * cfg.mapper_samples)
 
 
+def _popcount32(x, xp=jnp):
+    """SWAR popcount of a uint32 array (Mosaic has no population_count)."""
+    x = x - ((x >> xp.uint32(1)) & xp.uint32(0x55555555))
+    x = (x & xp.uint32(0x33333333)) + ((x >> xp.uint32(2)) & xp.uint32(0x33333333))
+    x = (x + (x >> xp.uint32(4))) & xp.uint32(0x0F0F0F0F)
+    return ((x * xp.uint32(0x01010101)) >> xp.uint32(24)).astype(xp.int32)
+
+
+def _word_max_cnt(planes, vmask, xp=jnp):
+    """Per-word max + at-max count of 32 bit-plane-packed counters.
+
+    planes[j] bit b = bit j of bucket b's hit count; vmask = valid-bucket
+    bits. Bitwise max: scan planes high->low keeping the candidate set —
+    cand starts as vmask; at each plane, if any candidate has the bit
+    set, the max has it and candidates narrow to those. O(n_planes) word
+    ops instead of expanding 32 per-bucket counts (the VPU-bound 32x
+    inner loop this replaces). Fully-masked words read max -1, count 32
+    (the tile-padding convention downstream relies on).
+
+    Returns (cm int32, cc int32) with planes' shape."""
+    cand = vmask
+    m = jnp.zeros(vmask.shape, jnp.int32) if xp is jnp else \
+        np.zeros(vmask.shape, np.int32)
+    for j in range(len(planes) - 1, -1, -1):
+        t = cand & planes[j]
+        nz = t != xp.uint32(0)
+        cand = xp.where(nz, t, cand)
+        m = m * 2 + nz.astype(xp.int32)
+    empty = vmask == xp.uint32(0)
+    cm = xp.where(empty, -1, m)
+    cc = xp.where(empty, 32, _popcount32(cand, xp=xp))
+    return cm, cc
+
+
+def _valid_word_mask(colbase, bound, xp=jnp):
+    """uint32 word of valid-bucket bits for words whose first bucket is
+    colbase: all-ones below the boundary word, partial at it, 0 past."""
+    rem = bound - colbase
+    shift = xp.clip(rem, 0, 31).astype(xp.uint32)
+    part = (xp.uint32(1) << shift) - xp.uint32(1)
+    return xp.where(rem >= 32, xp.uint32(0xFFFFFFFF),
+                    xp.where(rem <= 0, xp.uint32(0), part))
+
+
 def _chunk_scan_pallas(presence, bound, block_rows: int = 256,
                        interpret: bool = False):
     """Fused bit-sliced counting + per-word-chunk reduction as one Pallas
@@ -54,16 +98,15 @@ def _chunk_scan_pallas(presence, bound, block_rows: int = 256,
 
     presence: (B, 2, s, w) uint32 — per-sample bucket-presence words (the
     AND of each sample's q-gram occupancy rows). bound: int32 scalar, the
-    first out-of-range bucket column (masked to hit count -1 — required
-    because the all-ones sentinel row sets phantom bits beyond the last
-    real bucket).
+    first out-of-range bucket column (masked out — required because the
+    all-ones sentinel row sets phantom bits beyond the last real bucket).
 
     Per (row-block, word-tile) program: run the s-step carry chain into
-    bit-plane registers, expand each word's 32 per-bucket counts, and
-    reduce to per-word (CAND_CHUNK=32 buckets) chunk max + at-max count —
-    all in VMEM. The (B, 2, n) per-bucket hit tensor (425 MB/batch at
-    production scale, the round-1 design) never exists in HBM: traffic is
-    one presence read + two (B, 2, w) i32 writes.
+    bit-plane registers, then reduce each word's 32 packed counters to
+    chunk max + at-max count with the bitwise plane scan (_word_max_cnt)
+    — all in VMEM, no per-bucket expansion. The (B, 2, n) per-bucket hit
+    tensor (425 MB/batch at production scale, the round-1 design) never
+    exists in HBM: traffic is one presence read + two (B, 2, w) writes.
 
     Returns (chunk_max (B, 2, w_pad) i32, chunk_cnt (B, 2, w_pad) i32)
     where w_pad rounds w up to the tile width (padded chunks read as
@@ -96,19 +139,7 @@ def _chunk_scan_pallas(presence, bound, block_rows: int = 256,
                 carry = tmp
         wit = jax.lax.broadcasted_iota(jnp.int32, (BR, Tw), 1)
         colbase = (t * Tw + wit) * 32
-        cnts = []
-        cm = jnp.full((BR, Tw), -1, jnp.int32)
-        for b in range(32):
-            c = jnp.zeros((BR, Tw), jnp.int32)
-            for j in range(n_planes):
-                c = c | (((planes[j] >> jnp.uint32(b))
-                          & jnp.uint32(1)).astype(jnp.int32) << j)
-            c = jnp.where(colbase + b < bnd, c, -1)
-            cnts.append(c)
-            cm = jnp.maximum(cm, c)
-        cc = jnp.zeros((BR, Tw), jnp.int32)
-        for b in range(32):
-            cc = cc + jnp.where(cnts[b] == cm, 1, 0)
+        cm, cc = _word_max_cnt(planes, _valid_word_mask(colbase, bnd))
         cm_ref[:] = cm
         cc_ref[:] = cc
 
@@ -177,18 +208,9 @@ def _chunk_scan_jnp(presence, bound):
             tmp = planes[j] & carry
             planes[j] = planes[j] ^ carry
             carry = tmp
-    shifts8 = jnp.arange(8, dtype=jnp.uint8)
-    hits = jnp.zeros((B, two, w, 4, 8), dtype=jnp.int8)
-    for j in range(n_planes):
-        by = jax.lax.bitcast_convert_type(planes[j], jnp.uint8)  # LE bytes
-        bit = ((by[..., None] >> shifts8) & jnp.uint8(1)).astype(jnp.int8)
-        hits = hits + (bit << j)
-    hits = hits.reshape(B, two, w, 32).astype(jnp.int32)
-    col = (jnp.arange(w, dtype=jnp.int32)[:, None] * 32
-           + jnp.arange(32, dtype=jnp.int32)[None, :])
-    hits = jnp.where(col[None, None] < bound, hits, -1)
-    cm = hits.max(axis=3)
-    cc = (hits == cm[..., None]).sum(axis=3).astype(jnp.int32)
+    colbase = jnp.arange(w, dtype=jnp.int32) * 32
+    vmask = _valid_word_mask(colbase[None, None, :], bound)
+    cm, cc = _word_max_cnt(planes, vmask)
     Tw = 128 if w >= 128 else -(-w // 8) * 8
     wp = -(-w // Tw) * Tw
     if wp != w:
