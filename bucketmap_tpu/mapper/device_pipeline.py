@@ -384,7 +384,7 @@ class DeviceMapper:
 
         # candidate policy on GLOBAL per-read quantities (tiny collectives)
         bound = jnp.clip(jnp.int32(n) - col0, 0, n_local)
-        chunk_max, chunk_cnt = self.coarse._chunk_scan(presence, bound)
+        chunk_max, chunk_cnt, planes = self.coarse._chunk_scan(presence, bound)
         local_max = chunk_max.max(axis=2)                        # (B,2) i32
         gmax = jax.lax.pmax(local_max, self.bucket_axis)
         ok = (gmax >= cfg.min_coarse_hits) & ~give_up[:, None]
@@ -397,7 +397,7 @@ class DeviceMapper:
         # per-shard two-level extraction (ops/coarse.py:_extract_at_max2),
         # merged via all_gather: Db*C ints per (read, strand), NOT the
         # hit vector
-        cand_l = self.coarse._extract_at_max2(presence, chunk_max, gmax,
+        cand_l = self.coarse._extract_at_max2(planes, chunk_max, gmax,
                                               ok & ~over, n, col0)
         vals = jnp.where(cand_l >= 0, n_pad_g - cand_l, 0)
         allv = jax.lax.all_gather(vals, self.bucket_axis)        # (Db,B,2,C)

@@ -108,7 +108,8 @@ def _chunk_scan_pallas(presence, bound, block_rows: int = 256,
     tensor (425 MB/batch at production scale, the round-1 design) never
     exists in HBM: traffic is one presence read + two (B, 2, w) writes.
 
-    Returns (chunk_max (B, 2, w_pad) i32, chunk_cnt (B, 2, w_pad) i32)
+    Returns (chunk_max (B, 2, w_pad) i32, chunk_cnt (B, 2, w_pad) i32,
+    planes (B, 2, n_planes, w_pad) uint32 packed per-bucket counters)
     where w_pad rounds w up to the tile width (padded chunks read as
     fully masked: max -1, count 32).
     """
@@ -127,7 +128,7 @@ def _chunk_scan_pallas(presence, bound, block_rows: int = 256,
     assert B2 % BR == 0, (B2, BR)
     nt = wp // Tw
 
-    def kernel(bound_ref, p_ref, cm_ref, cc_ref):
+    def kernel(bound_ref, p_ref, cm_ref, cc_ref, pl_ref):
         t = pl.program_id(1)
         bnd = bound_ref[0]
         planes = [jnp.zeros((BR, Tw), jnp.uint32) for _ in range(n_planes)]
@@ -142,6 +143,8 @@ def _chunk_scan_pallas(presence, bound, block_rows: int = 256,
         cm, cc = _word_max_cnt(planes, _valid_word_mask(colbase, bnd))
         cm_ref[:] = cm
         cc_ref[:] = cc
+        for j in range(n_planes):
+            pl_ref[:, j] = planes[j]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -155,15 +158,215 @@ def _chunk_scan_pallas(presence, bound, block_rows: int = 256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BR, Tw), lambda i, t, _b: (i, t),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, n_planes, Tw), lambda i, t, _b: (i, 0, t),
+                         memory_space=pltpu.VMEM),
         ],
     )
-    cm, cc = pl.pallas_call(
+    cm, cc, planes = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B2, wp), jnp.int32)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((B2, wp), jnp.int32),
+            jax.ShapeDtypeStruct((B2, wp), jnp.int32),
+            jax.ShapeDtypeStruct((B2, n_planes, wp), jnp.uint32),
+        ],
         interpret=interpret,
     )(jnp.asarray(bound, jnp.int32).reshape(1), pres)
-    return cm.reshape(B, two, wp), cc.reshape(B, two, wp)
+    return (cm.reshape(B, two, wp), cc.reshape(B, two, wp),
+            planes.reshape(B, two, n_planes, wp))
+
+
+def _presence_gather_pallas(qgram_words, rows, block_samples: int = 240,
+                            n_slots: int = 8, interpret: bool = False):
+    """Presence row-gather + AND as one Pallas kernel with a manual DMA
+    ring.
+
+    qgram_words: (G1, wq) uint32 occupancy table, wq % 128 == 0 (lane-
+    aligned rows), resident in HBM (pltpu.ANY). rows: (R, 4) int32 — per
+    sample row, the table rows of its 4 contained q-grams (kmer_to_row
+    applied). Returns presence (R, wq) uint32 = AND of the 4 rows.
+
+    XLA lowers the equivalent take() to a scattered row gather measured
+    at ~51 GB/s (8% of HBM); here each grid program owns `block_samples`
+    samples and streams their 4-row sets through an n_slots-deep ring of
+    async HBM->VMEM copies (4 DMAs in flight per slot), so row fetch
+    latency overlaps the AND of earlier slots.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, nq = rows.shape
+    G1, S8, L = qgram_words.shape             # row = (S8, 128) sub-tiles
+    assert L == 128 and S8 % 8 == 0, (S8, L)  # HBM slices must tile-align
+    T = min(block_samples, R)
+    while R % T:                               # largest divisor <= block
+        T -= 1
+    NS = n_slots
+
+    def kernel(rows_ref, tab_ref, out_ref):
+        def body(scratch, sems):
+            def dma(t, slot, i):
+                return pltpu.make_async_copy(
+                    tab_ref.at[rows_ref[t, i]],
+                    scratch.at[slot, i],
+                    sems.at[slot, i])
+
+            for t in range(min(NS, T)):        # warmup: fill the ring
+                for i in range(nq):
+                    dma(t, t % NS, i).start()
+
+            def step(t, _):
+                slot = jax.lax.rem(t, NS)
+                for i in range(nq):
+                    dma(t, slot, i).wait()
+                acc = scratch[slot, 0]
+                for i in range(1, nq):
+                    acc = acc & scratch[slot, i]
+                out_ref[pl.ds(t, 1)] = acc[None]
+
+                @pl.when(t + NS < T)
+                def _():
+                    for i in range(nq):
+                        dma(t + NS, slot, i).start()
+                return 0
+
+            jax.lax.fori_loop(0, T, step, 0)
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((NS, nq, S8, L), jnp.uint32),
+            sems=pltpu.SemaphoreType.DMA((NS, nq)),
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(R // T,),
+        in_specs=[
+            pl.BlockSpec((T, nq), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((T, S8, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, S8, L), jnp.uint32),
+        interpret=interpret,
+    )(rows, qgram_words)
+    return out.reshape(R, S8 * L)
+
+
+def _coarse_score_pallas(qgram_words3, rows, bound, s: int,
+                         block_rows: int = 16, n_slots: int = 8,
+                         interpret: bool = False):
+    """The WHOLE coarse scoring as one Pallas kernel: row gather (manual
+    DMA ring), per-sample AND, bit-plane ripple-carry counting, and the
+    per-word max / at-max-count reduction — presence never exists in HBM.
+
+    qgram_words3: (G1, S8, 128) uint32 occupancy table (row = S8*128
+    words, S8 % 8 == 0 so a row slice covers whole (8,128) tiles).
+    rows: (B2*s, nq) int32 — table rows of each sample's nq contained
+    q-grams, s samples per read-strand, sample-minor. bound: int32 (1,)
+    — first out-of-range bucket column.
+
+    Returns (chunk_max (B2, S8*128) i32, chunk_cnt (B2, S8*128) i32,
+    planes (B2, n_planes, S8*128) uint32) — cm/cc exactly as
+    _chunk_scan_jnp(presence) would give, planes carrying the packed
+    per-bucket hit counters for downstream at-max extraction.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, nq = rows.shape
+    assert R % s == 0
+    B2 = R // s
+    G1, S8, L = qgram_words3.shape
+    assert L == 128 and S8 % 8 == 0, (S8, L)
+    n_planes = s.bit_length()
+    BR = min(block_rows, B2)
+    while B2 % BR:
+        BR -= 1
+    T = BR * s
+    NS = n_slots
+
+    def kernel(bound_ref, rows_ref, tab_ref, cm_ref, cc_ref, planes_ref):
+        def body(scratch, sems):
+            def dma(t, slot, i):
+                return pltpu.make_async_copy(
+                    tab_ref.at[rows_ref[t, i]],
+                    scratch.at[slot, i],
+                    sems.at[slot, i])
+
+            planes_ref[:] = jnp.zeros((BR, n_planes, S8, L), jnp.uint32)
+
+            for t in range(min(NS, T)):        # warmup: fill the ring
+                for i in range(nq):
+                    dma(t, t % NS, i).start()
+
+            def step(t, _):
+                slot = jax.lax.rem(t, NS)
+                r = jax.lax.div(t, s)
+                for i in range(nq):
+                    dma(t, slot, i).wait()
+                carry = scratch[slot, 0]
+                for i in range(1, nq):
+                    carry = carry & scratch[slot, i]
+                # ripple the sample's presence bits into the read's
+                # packed counters (commutative, so sample order is free)
+                for j in range(n_planes):
+                    pj = planes_ref[r, j]
+                    planes_ref[r, j] = pj ^ carry
+                    carry = pj & carry
+
+                @pl.when(t + NS < T)
+                def _():
+                    for i in range(nq):
+                        dma(t + NS, slot, i).start()
+                return 0
+
+            jax.lax.fori_loop(0, T, step, 0)
+
+            sub = jax.lax.broadcasted_iota(jnp.int32, (S8, L), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (S8, L), 1)
+            vmask = _valid_word_mask((sub * L + lane) * 32, bound_ref[0])
+            planes = [planes_ref[:, j] for j in range(n_planes)]
+            cm, cc = _word_max_cnt(planes, vmask[None])
+            cm_ref[:] = cm
+            cc_ref[:] = cc
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((NS, nq, S8, L), jnp.uint32),
+            sems=pltpu.SemaphoreType.DMA((NS, nq)),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B2 // BR,),
+        in_specs=[
+            pl.BlockSpec((T, nq), lambda i, _b: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((BR, S8, L), lambda i, _b: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, S8, L), lambda i, _b: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, n_planes, S8, L), lambda i, _b: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    cm, cc, planes = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B2, S8, L), jnp.int32),
+            jax.ShapeDtypeStruct((B2, S8, L), jnp.int32),
+            jax.ShapeDtypeStruct((B2, n_planes, S8, L), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(bound, jnp.int32).reshape(1), rows, qgram_words3)
+    wq = S8 * L
+    return (cm.reshape(B2, wq), cc.reshape(B2, wq),
+            planes.reshape(B2, n_planes, wq))
 
 
 def _first_set_indices(mask, C: int):
@@ -211,12 +414,14 @@ def _chunk_scan_jnp(presence, bound):
     colbase = jnp.arange(w, dtype=jnp.int32) * 32
     vmask = _valid_word_mask(colbase[None, None, :], bound)
     cm, cc = _word_max_cnt(planes, vmask)
+    planes = jnp.stack(planes, axis=2)                  # (B, 2, n_planes, w)
     Tw = 128 if w >= 128 else -(-w // 8) * 8
     wp = -(-w // Tw) * Tw
     if wp != w:
         cm = jnp.pad(cm, ((0, 0), (0, 0), (0, wp - w)), constant_values=-1)
         cc = jnp.pad(cc, ((0, 0), (0, 0), (0, wp - w)), constant_values=32)
-    return cm, cc
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+    return cm, cc, planes
 
 
 class CoarseMapper:
@@ -275,7 +480,16 @@ class CoarseMapper:
     @property
     def qgram_words(self):
         if self._qgram_dev is None:
-            self._qgram_dev = jnp.asarray(self._qgram_host)
+            qw = self._qgram_host
+            if self._scan_mode == "pallas":
+                # tile-align rows for the manual-DMA presence gather (an
+                # HBM row slice must cover whole (8, 128) tiles); padded
+                # columns are past `bound` and mask to -1 downstream
+                w = qw.shape[1]
+                wq = -(-w // 1024) * 1024
+                if wq != w:
+                    qw = np.pad(np.asarray(qw), ((0, 0), (0, wq - w)))
+            self._qgram_dev = jnp.asarray(qw)
         return self._qgram_dev
 
     @qgram_words.setter
@@ -296,21 +510,17 @@ class CoarseMapper:
         return self._query_impl(qgram_words, kmer_to_row, dist_tab,
                                 sample_tab, codes, qual_ok, lengths)
 
-    def _presence_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
-                       codes: jax.Array, qual_ok: jax.Array,
-                       lengths: jax.Array):
-        """Per-sample bucket presence for a batch — the gather half of the
-        query, valid on a bucket-range SHARD of the index (pass the local
-        word columns). Each sample's presence word vector is the AND of
-        its k-q+1 q-gram occupancy rows (query, q_gram_mapper.h:398-407).
-        Returns (presence (B, 2, s, w) uint32, num_good (B,) int32,
-        give_up (B,) bool)."""
+    def _sample_hashes_impl(self, kmer_to_row, dist_tab, sample_tab,
+                            codes: jax.Array, qual_ok: jax.Array,
+                            lengths: jax.Array):
+        """Distinguishability/quality gating + deterministic sampling:
+        the shared front half of the coarse query (q_gram_mapper.h:
+        414-460). Returns (both (B, 2, s) uint32 sampled k-mer hashes
+        with axis 1 = strand, num_good (B,) int32, give_up (B,) bool)."""
         cfg = self.cfg
         k, q = cfg.query_seed, cfg.index_seed
-        s = cfg.mapper_samples
         B, L = codes.shape
         K = L - k + 1  # k-mer positions (padded tail masked below)
-        w = qgram_words.shape[1]
         qbits = jnp.uint32(4**q - 1)
 
         kmers = kmer_hashes(codes, k, xp=jnp)                       # (B, K)
@@ -341,11 +551,42 @@ class CoarseMapper:
 
         both = jnp.stack([samp_hash, revcomp_hash(samp_hash, k, xp=jnp)],
                          axis=1)
+        return both, num_good, give_up
+
+    def _presence_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
+                       codes: jax.Array, qual_ok: jax.Array,
+                       lengths: jax.Array):
+        """Per-sample bucket presence for a batch — the gather half of the
+        query, valid on a bucket-range SHARD of the index (pass the local
+        word columns). Each sample's presence word vector is the AND of
+        its k-q+1 q-gram occupancy rows (query, q_gram_mapper.h:398-407).
+        Returns (presence (B, 2, s, w) uint32, num_good (B,) int32,
+        give_up (B,) bool)."""
+        cfg = self.cfg
+        k, q = cfg.query_seed, cfg.index_seed
+        s = cfg.mapper_samples
+        B = codes.shape[0]
+        w = qgram_words.shape[1]
+        qbits = jnp.uint32(4**q - 1)
+        both, num_good, give_up = self._sample_hashes_impl(
+            kmer_to_row, dist_tab, sample_tab, codes, qual_ok, lengths)
+        nq = k - q + 1
+        if self._scan_mode == "pallas" and w % 1024 == 0:
+            # manual-DMA gather kernel (see _presence_gather_pallas); the
+            # table was tile-padded at upload (qgram_words property) so
+            # each row views as DMA-able (w/128, 128) sub-tiles
+            shifts = 2 * jnp.arange(nq, dtype=jnp.uint32)
+            grams = (both[..., None] >> shifts) & qbits         # (B,2,s,nq)
+            rows = kmer_to_row[grams].reshape(-1, nq)
+            tab3 = qgram_words.reshape(qgram_words.shape[0], w // 128, 128)
+            pres = _presence_gather_pallas(tab3, rows,
+                                           interpret=self._scan_interpret)
+            return pres.reshape(B, 2, s, w), num_good, give_up
         pres = []
         for s_i in range(s):
             h = both[:, :, s_i]                                      # (B, 2)
             presence = jnp.full((B, 2, w), 0xFFFFFFFF, dtype=jnp.uint32)
-            for i in range(k - q + 1):
+            for i in range(nq):
                 gram = (h >> jnp.uint32(2 * i)) & qbits
                 presence = presence & qgram_words[kmer_to_row[gram]]
             pres.append(presence)
@@ -361,7 +602,7 @@ class CoarseMapper:
                                       interpret=self._scan_interpret)
         return _chunk_scan_jnp(presence, bound)
 
-    def _extract_at_max2(self, presence, chunk_max, max_hits, live, n,
+    def _extract_at_max2(self, planes, chunk_max, max_hits, live, n,
                          col0: int = 0):
         """Bucket ids at the (global) max hit count — two-level extraction.
 
@@ -371,16 +612,17 @@ class CoarseMapper:
         off bandwidth. Since live reads have <= C at-max buckets (more
         clears the read, q_gram_mapper.h:471-476), the at-max buckets
         occupy <= C of the 32-bucket word-chunks: find those chunks with
-        a narrow top_k over the chunk-max scan, re-derive ONLY their 32
-        per-bucket counts from the gathered presence words (a C-word
-        gather + short carry chain — the full hit tensor never exists),
-        and extract positions with a local top_k over C*32 elements.
-        Results identical to a direct dense extraction.
+        a narrow top_k over the chunk-max scan, unpack ONLY their 32
+        per-bucket counts from the gathered bit-plane words (n_planes
+        words per chunk — the full hit tensor never exists), and extract
+        positions with a local top_k over C*32 elements. Results
+        identical to a direct dense extraction.
 
+        planes: (B, 2, n_planes, nc) uint32 packed per-bucket counters
+        (from _chunk_scan / _coarse_score_pallas).
         Returns cand (B,2,C) int32 — ascending global ids, -1 padded."""
         C = self.cfg.max_candidate_buckets
-        s = self.cfg.mapper_samples
-        B, _, nc = chunk_max.shape
+        B, _, n_planes, nc = planes.shape
         at_max = max_hits[..., None]                              # (B,2,1)
 
         # level 1: chunks containing an at-max bucket, ascending
@@ -388,23 +630,14 @@ class CoarseMapper:
         kc = min(C, nc)
         cidx, cvalid = _first_set_indices(chunk_has, kc)          # (B,2,kc)
 
-        # level 2: gather the chosen chunks' presence words, recount
+        # level 2: gather the chosen chunks' counter words, unpack
         pw = jnp.take_along_axis(
-            presence, cidx[:, :, None, :],
-            axis=3)                                               # (B,2,s,kc)
-        n_planes = s.bit_length()
-        planes = [jnp.zeros(pw.shape[:2] + (kc,), jnp.uint32)
-                  for _ in range(n_planes)]
-        for s_i in range(s):
-            carry = pw[:, :, s_i, :]
-            for j in range(n_planes):
-                tmp = planes[j] & carry
-                planes[j] = planes[j] ^ carry
-                carry = tmp
+            planes, cidx[:, :, None, :],
+            axis=3)                                           # (B,2,np,kc)
         shifts = jnp.arange(32, dtype=jnp.uint32)
         sub = jnp.zeros((B, 2, kc, 32), jnp.int32)
         for j in range(n_planes):
-            bit = ((planes[j][..., None] >> shifts)
+            bit = ((pw[:, :, j, :, None] >> shifts)
                    & jnp.uint32(1)).astype(jnp.int32)
             sub = sub + (bit << j)
         cs = self.CAND_CHUNK
@@ -430,17 +663,38 @@ class CoarseMapper:
         """
         cfg = self.cfg
         n = self.n_buckets
-        presence, num_good, give_up = self._presence_impl(
-            qgram_words, kmer_to_row, dist_tab, sample_tab, codes, qual_ok,
-            lengths)
-        chunk_max, chunk_cnt = self._chunk_scan(presence, jnp.int32(n))
+        w = qgram_words.shape[1]
+        if self._scan_mode == "pallas" and w % 1024 == 0:
+            # fully fused scoring: row DMA + AND + counting + word
+            # reduction in one kernel; presence never touches HBM
+            B = codes.shape[0]
+            both, num_good, give_up = self._sample_hashes_impl(
+                kmer_to_row, dist_tab, sample_tab, codes, qual_ok, lengths)
+            nq = cfg.qgrams_per_kmer
+            qbits = jnp.uint32(4**cfg.index_seed - 1)
+            shifts = 2 * jnp.arange(nq, dtype=jnp.uint32)
+            grams = (both[..., None] >> shifts) & qbits         # (B,2,s,nq)
+            rows = kmer_to_row[grams].reshape(-1, nq)
+            tab3 = qgram_words.reshape(qgram_words.shape[0], w // 128, 128)
+            cm, cc, pls = _coarse_score_pallas(
+                tab3, rows, jnp.int32(n), cfg.mapper_samples,
+                interpret=self._scan_interpret)
+            chunk_max = cm.reshape(B, 2, w)
+            chunk_cnt = cc.reshape(B, 2, w)
+            planes = pls.reshape(B, 2, -1, w)
+        else:
+            presence, num_good, give_up = self._presence_impl(
+                qgram_words, kmer_to_row, dist_tab, sample_tab, codes,
+                qual_ok, lengths)
+            chunk_max, chunk_cnt, planes = self._chunk_scan(
+                presence, jnp.int32(n))
         max_hits = chunk_max.max(axis=2)                         # (B,2) i32
         ok = (max_hits >= cfg.min_coarse_hits) & ~give_up[:, None]
         counts = jnp.where((chunk_max == max_hits[:, :, None])
                            & ok[..., None], chunk_cnt, 0).sum(axis=2)
         over = counts > cfg.max_candidate_buckets                # clear (:471-476)
         counts = jnp.where(over, 0, counts)
-        cand = self._extract_at_max2(presence, chunk_max, max_hits,
+        cand = self._extract_at_max2(planes, chunk_max, max_hits,
                                      ok & ~over, n)
         return cand, counts, num_good
 

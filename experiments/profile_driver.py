@@ -30,11 +30,11 @@ from bucketmap_tpu.mapper.pipeline import BucketMapPipeline, MapStats
 
 print(f"native IO: {'ENGAGED' if native.available() else 'python fallback'}")
 t0 = time.perf_counter()
-index = builder.load_index(CACHE, "idx_1700rep")
+index = builder.load_index(CACHE, "idx_1700rep2")
 print(f"index loaded {time.perf_counter()-t0:.1f}s ({index.n_buckets} buckets)")
 
 t0 = time.perf_counter()
-batch = read_fastq(f"{CACHE}/reads_g1700repm_r1000000.fastq")
+batch = read_fastq(f"{CACHE}/reads_g1700rep2m_r1000000.fastq")
 print(f"fastq parsed {time.perf_counter()-t0:.1f}s")
 
 t0 = time.perf_counter()

@@ -78,21 +78,21 @@ presence, num_good, give_up = timeit("1 coarse presence  ", pres_fn,
                                      jlens)
 
 scan_fn = jax.jit(lambda p: co._chunk_scan(p, jnp.int32(co.n_buckets)))
-chunk_max, chunk_cnt = timeit("2 chunk scan       ", scan_fn, presence)
+chunk_max, chunk_cnt, planes = timeit("2 chunk scan       ", scan_fn, presence)
 
 
-def select(presence, chunk_max, chunk_cnt, give_up):
+def select(planes, chunk_max, chunk_cnt, give_up):
     n = co.n_buckets
     max_hits = chunk_max.max(axis=2)
     ok = (max_hits >= cfg.min_coarse_hits) & ~give_up[:, None]
     counts = jnp.where((chunk_max == max_hits[:, :, None]) & ok[..., None],
                        chunk_cnt, 0).sum(axis=2)
     over = counts > C
-    cand = co._extract_at_max2(presence, chunk_max, max_hits, ok & ~over, n)
+    cand = co._extract_at_max2(planes, chunk_max, max_hits, ok & ~over, n)
     return cand, jnp.where(over, 0, counts)
 
 
-cand, counts = timeit("2b candidate select", jax.jit(select), presence,
+cand, counts = timeit("2b candidate select", jax.jit(select), planes,
                       chunk_max, chunk_cnt, give_up)
 
 prep_fn = jax.jit(fi._prepare_impl)

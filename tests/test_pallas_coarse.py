@@ -40,12 +40,22 @@ def _check(B, s, w, bound, seed, dense=False):
                 | np.where(keep[..., i, None], np.uint32(1) << bit[..., None],
                            0).astype(np.uint32), axis=3)
     jp = jnp.asarray(presence)
-    cm1, cc1 = jax.device_get(_chunk_scan_jnp(jp, jnp.int32(bound)))
-    cm2, cc2 = jax.device_get(
+    cm1, cc1, pl1 = jax.device_get(_chunk_scan_jnp(jp, jnp.int32(bound)))
+    cm2, cc2, pl2 = jax.device_get(
         _chunk_scan_pallas(jp, jnp.int32(bound), block_rows=16,
                            interpret=True))
     np.testing.assert_array_equal(cm1, cm2)
     np.testing.assert_array_equal(cc1, cc2)
+    np.testing.assert_array_equal(pl1, pl2)
+    # planes are the packed per-bucket counters
+    hits = _reference_counts(presence, w * 32)  # unmasked counts
+    unpacked = np.zeros_like(hits)
+    for j in range(pl1.shape[2]):
+        for word in range(w):
+            for b in range(32):
+                unpacked[..., word * 32 + b] |= (
+                    ((pl1[:, :, j, word] >> b) & 1) << j).astype(np.int32)
+    np.testing.assert_array_equal(unpacked, hits)
     # both vs the numpy oracle on the unpadded range
     hits = _reference_counts(presence, bound)
     hc = hits.reshape(B, 2, w, 32)
