@@ -463,6 +463,18 @@ class DeviceMapper:
             packed = jax.device_put(packed, self._data_sharding2)
         return self.step_global(packed)
 
+    _concat_fns: dict = {}
+
+    def concat_outs(self, outs):
+        """Concatenate K step-output vectors ON DEVICE so the host can
+        fetch a whole fetch-group with one device_get (the remote link
+        charges ~30 ms per fetch regardless of size)."""
+        fn = DeviceMapper._concat_fns.get(len(outs))
+        if fn is None:
+            fn = jax.jit(lambda *vs: jnp.concatenate(vs))
+            DeviceMapper._concat_fns[len(outs)] = fn
+        return fn(*outs)
+
     def step_global(self, packed):
         """Run the fused step on an already-placed (possibly
         multi-process global) packed-read array."""

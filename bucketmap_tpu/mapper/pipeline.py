@@ -94,12 +94,19 @@ class MapStats:
 class BucketMapPipeline:
     def __init__(self, index: BucketIndex, align: bool = False,
                  batch_size: int = 512, pair_batch: int = 256,
-                 pairs_per_read: int = 4, mesh=None, prefetch: int = 4):
+                 pairs_per_read: int = 4, mesh=None, prefetch: int = 4,
+                 fetch_group: int = 4):
         self.index = index
         self.cfg = index.config
         self.align = align
         self.batch_size = batch_size
-        self.prefetch = max(1, prefetch)
+        # fetch_group step outputs are concatenated ON DEVICE and fetched
+        # with one device_get: the remote link charges a ~30 ms round
+        # trip per fetch regardless of size, so grouping K batches pays
+        # the floor once per K (device compute of later batches proceeds
+        # under the fetch — dispatches are async)
+        self.fetch_group = max(1, fetch_group)
+        self.prefetch = max(1, prefetch, 2 * self.fetch_group)
         from bucketmap_tpu.mapper.device_pipeline import DeviceMapper
         self.device = DeviceMapper(index, batch_size=batch_size,
                                    pairs_per_read=pairs_per_read,
@@ -228,37 +235,48 @@ class BucketMapPipeline:
         reads_with_cand = np.zeros(n, dtype=bool)
         _fill()
         while inflight:
-            s, e, out = inflight.pop(0)
+            group = [inflight.pop(0)
+                     for _ in range(min(self.fetch_group, len(inflight)))]
             t0 = time.perf_counter()
-            host = self.device.decode_out(np.asarray(jax.device_get(out)))
+            if len(group) == 1:
+                vecs = [np.asarray(jax.device_get(group[0][2]))]
+            else:
+                # one fetch for the whole group: concat on device, pay
+                # the link round trip once
+                flat = np.asarray(jax.device_get(
+                    self.device.concat_outs([g[2] for g in group])))
+                vl = flat.shape[0] // len(group)
+                vecs = [flat[i * vl:(i + 1) * vl] for i in range(len(group))]
             stats.fine_seconds += time.perf_counter() - t0
             _fill()  # refill the window before host-side extraction
-            t0 = time.perf_counter()
-            stats.candidate_pairs += int(host["total_valid"])
-            counts = host["counts"][: e - s]
-            reads_with_cand[seg_read[s + np.nonzero(counts.sum(axis=1) > 0)[0]]] = True
+            for (s, e, _), vec in zip(group, vecs):
+                t0 = time.perf_counter()
+                host = self.device.decode_out(vec)
+                stats.candidate_pairs += int(host["total_valid"])
+                counts = host["counts"][: e - s]
+                reads_with_cand[seg_read[s + np.nonzero(counts.sum(axis=1) > 0)[0]]] = True
 
-            if (int(host["local_valid"].max()) > self.device.lane_budget
-                    or int(host["n_accept"].max()) > self.device.out_cap):
-                # lane/output budget overflow (heavily repetitive
-                # genomes): redo this batch split in half — per-read
-                # budget doubles per split, stays on the (possibly
-                # sharded) fused path
-                chunks = self._locate_split(batch, seg_read, seg_off,
-                                            seg_len, codes, quals, s, e)
-            else:
-                chunks = [self._extract_chunk(host, s, e, batch, seg_read,
-                                              seg_off, seg_len)]
-            r = np.concatenate([c[0] for c in chunks]).astype(np.int64)
-            bk = np.concatenate([c[1] for c in chunks])
-            off = np.concatenate([c[2] for c in chunks])
-            votes = np.concatenate([c[3] for c in chunks]).astype(np.int64)
-            orig = np.concatenate([c[4] for c in chunks])
-            so = np.concatenate([c[5] for c in chunks]).astype(np.int64)
-            order = np.lexsort((~orig, bk, r))
-            stats.fine_seconds += time.perf_counter() - t0
-            yield (r[order], bk[order], off[order], votes[order],
-                   orig[order], so[order])
+                if (int(host["local_valid"].max()) > self.device.lane_budget
+                        or int(host["n_accept"].max()) > self.device.out_cap):
+                    # lane/output budget overflow (heavily repetitive
+                    # genomes): redo this batch split in half — per-read
+                    # budget doubles per split, stays on the (possibly
+                    # sharded) fused path
+                    chunks = self._locate_split(batch, seg_read, seg_off,
+                                                seg_len, codes, quals, s, e)
+                else:
+                    chunks = [self._extract_chunk(host, s, e, batch,
+                                                  seg_read, seg_off, seg_len)]
+                r = np.concatenate([c[0] for c in chunks]).astype(np.int64)
+                bk = np.concatenate([c[1] for c in chunks])
+                off = np.concatenate([c[2] for c in chunks])
+                votes = np.concatenate([c[3] for c in chunks]).astype(np.int64)
+                orig = np.concatenate([c[4] for c in chunks])
+                so = np.concatenate([c[5] for c in chunks]).astype(np.int64)
+                order = np.lexsort((~orig, bk, r))
+                stats.fine_seconds += time.perf_counter() - t0
+                yield (r[order], bk[order], off[order], votes[order],
+                       orig[order], so[order])
         stats.reads_with_candidates += int(reads_with_cand.sum())
         stats.num_reads += n
 

@@ -254,7 +254,7 @@ def _presence_gather_pallas(qgram_words, rows, block_samples: int = 240,
 
 
 def _coarse_score_pallas(qgram_words3, rows, bound, s: int,
-                         block_rows: int = 16, n_slots: int = 8,
+                         block_rows: int = 32, n_slots: int = 16,
                          interpret: bool = False):
     """The WHOLE coarse scoring as one Pallas kernel: row gather (manual
     DMA ring), per-sample AND, bit-plane ripple-carry counting, and the
