@@ -179,7 +179,8 @@ def main():
     batch = read_fastq(fastq_path)
     log(f"[bench] fastq parsed in {time.time()-t0:.2f}s ({batch.num_reads} reads)")
 
-    pipe = BucketMapPipeline(index, batch_size=BATCH, pair_batch=BATCH, align=ALIGN)
+    pipe = BucketMapPipeline(index, batch_size=BATCH, pair_batch=BATCH, align=ALIGN,
+                             fetch_group=int(os.environ.get("BMTPU_FETCH_GROUP", "4")))
     # warmup: compile all jit programs on a small prefix. With a hot
     # persistent cache this is seconds; a cold cache pays full XLA
     # compile once and the next run hits.

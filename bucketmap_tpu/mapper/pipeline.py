@@ -95,16 +95,17 @@ class BucketMapPipeline:
     def __init__(self, index: BucketIndex, align: bool = False,
                  batch_size: int = 512, pair_batch: int = 256,
                  pairs_per_read: int = 4, mesh=None, prefetch: int = 4,
-                 fetch_group: int = 4):
+                 fetch_group: int = 1):
         self.index = index
         self.cfg = index.config
         self.align = align
         self.batch_size = batch_size
-        # fetch_group step outputs are concatenated ON DEVICE and fetched
-        # with one device_get: the remote link charges a ~30 ms round
-        # trip per fetch regardless of size, so grouping K batches pays
-        # the floor once per K (device compute of later batches proceeds
-        # under the fetch — dispatches are async)
+        # fetch_group > 1 concatenates K step outputs ON DEVICE and
+        # fetches them with one device_get. Measured on the remote-TPU
+        # link: a LOSS (46.8k -> 28.1k reads/s at K=4) — the link is
+        # bandwidth-poor (~5-15 MB/s), so K-fold larger fetches cost
+        # more than the K-1 saved ~30 ms round-trip floors. Default 1;
+        # kept for links where the floor dominates (BMTPU_FETCH_GROUP)
         self.fetch_group = max(1, fetch_group)
         self.prefetch = max(1, prefetch, 2 * self.fetch_group)
         from bucketmap_tpu.mapper.device_pipeline import DeviceMapper

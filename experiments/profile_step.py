@@ -25,11 +25,11 @@ CACHE = ".bench_cache"
 jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "xla_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-index = builder.load_index(CACHE, "idx_1700rep")
+index = builder.load_index(CACHE, "idx_1700rep2")
 print(f"index: {index.n_buckets} buckets, fine_pos "
       f"{None if index.fine_pos is None else index.fine_pos.shape}")
 
-batch = read_fastq(f"{CACHE}/reads_g1700repm_r1000000.fastq")
+batch = read_fastq(f"{CACHE}/reads_g1700rep2m_r1000000.fastq")
 codes = batch.codes[:B]
 quals = batch.quals[:B]
 lengths = np.minimum(batch.lengths[:B], index.config.read_len).astype(np.int32)
@@ -76,6 +76,28 @@ pres_fn = jax.jit(co._presence_impl)
 presence, num_good, give_up = timeit("1 coarse presence  ", pres_fn,
                                      *co._index_args(), jcodes, jqual_ok,
                                      jlens)
+
+# the fused scoring kernel (production path on TPU): sampling + rows +
+# DMA-ring gather + counting + word reduce in one program
+if co._scan_mode == "pallas" and co.qgram_words.shape[1] % 1024 == 0:
+    from bucketmap_tpu.ops.coarse import _coarse_score_pallas
+
+    def fused_score(qgram_words, kmer_to_row, dist_tab, sample_tab,
+                    codes, qual_ok, lengths):
+        cfgc = co.cfg
+        both, num_good, give_up = co._sample_hashes_impl(
+            kmer_to_row, dist_tab, sample_tab, codes, qual_ok, lengths)
+        qbits = jnp.uint32(4**cfgc.index_seed - 1)
+        shifts = 2 * jnp.arange(cfgc.qgrams_per_kmer, dtype=jnp.uint32)
+        grams = (both[..., None] >> shifts) & qbits
+        rows = kmer_to_row[grams].reshape(-1, cfgc.qgrams_per_kmer)
+        w = qgram_words.shape[1]
+        tab3 = qgram_words.reshape(qgram_words.shape[0], w // 128, 128)
+        return _coarse_score_pallas(tab3, rows, jnp.int32(co.n_buckets),
+                                    cfgc.mapper_samples)
+
+    timeit("1f fused coarse    ", jax.jit(fused_score), *co._index_args(),
+           jcodes, jqual_ok, jlens)
 
 scan_fn = jax.jit(lambda p: co._chunk_scan(p, jnp.int32(co.n_buckets)))
 chunk_max, chunk_cnt, planes = timeit("2 chunk scan       ", scan_fn, presence)
