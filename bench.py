@@ -146,6 +146,16 @@ def main():
         index = builder.load_index(CACHE, f"idx_{gtag}")
         genome = None
         log(f"[bench] index loaded in {time.time()-t0:.1f}s")
+        # the artifact stores the config it was BUILT with; re-apply this
+        # run's QUERY-time parameterization (the long-read mode changes
+        # sampling/thresholds but shares the index — a cache hit must not
+        # silently drop -s/-e/-n/-p/-u)
+        import dataclasses
+        index.config = dataclasses.replace(
+            index.config, mapper_samples=cfg.mapper_samples,
+            seed_miss_rate=cfg.seed_miss_rate, indel_rate=cfg.indel_rate,
+            locator_samples=cfg.locator_samples,
+            quality_threshold=cfg.quality_threshold)
 
     if not os.path.exists(fastq_path):
         if genome is None:
@@ -179,8 +189,14 @@ def main():
     batch = read_fastq(fastq_path)
     log(f"[bench] fastq parsed in {time.time()-t0:.2f}s ({batch.num_reads} reads)")
 
-    pipe = BucketMapPipeline(index, batch_size=BATCH, pair_batch=BATCH, align=ALIGN,
-                             fetch_group=int(os.environ.get("BMTPU_FETCH_GROUP", "4")))
+    # when the fine index exceeds the device budget the pipeline falls to
+    # the table-free packed-scan vote path, which materializes
+    # (vote_chunk, bucket_len) intermediates — cap the pair chunk there
+    fine_gb = 4 * index.n_buckets * index.buckets_packed.shape[1] * 16 / (1 << 30)
+    pair_batch = int(os.environ.get("BMTPU_BENCH_PAIR_BATCH",
+                                    str(BATCH if fine_gb <= 8 else 1024)))
+    pipe = BucketMapPipeline(index, batch_size=BATCH, pair_batch=pair_batch, align=ALIGN,
+                             fetch_group=int(os.environ.get("BMTPU_FETCH_GROUP", "1")))
     # warmup: compile all jit programs on a small prefix. With a hot
     # persistent cache this is seconds; a cold cache pays full XLA
     # compile once and the next run hits.

@@ -70,10 +70,30 @@ class DeviceMapper:
             p = batch_size * pairs_per_read
             self.lane_budget = (p + vote_chunk - 1) // vote_chunk * vote_chunk
             self.out_cap = self._pick_out_cap(batch_size)
+            self._init_pack_bits(batch_size)
             self._data_sharding = None
             self._step = jax.jit(self._step_impl)
         else:
             self._init_mesh(mesh, pairs_per_read)
+
+    def _init_pack_bits(self, rows: int):
+        """Bit layout of a packed accepted lane (2 uint32 words; the
+        download link is the scarce resource — see _pack_result):
+          w0 = lane | votes << la | bucket_hi << (la + 8)
+          w1 = offset | bucket_lo << ob
+        lane < rows*2*C (la bits), votes clipped to 8 bits, offset <
+        the packed bucket row length (ob bits), bucket splits around the
+        32-ob boundary."""
+        C = self.cfg.max_candidate_buckets
+        nl = max(2, rows * 2 * C)
+        self._lane_bits = (nl - 1).bit_length()
+        lb = self.index.buckets_packed.shape[1] * 16
+        self._off_bits = max(1, int(lb).bit_length())
+        nb = max(2, getattr(self, "_n_pad_global", 0) or self.index.n_buckets)
+        bucket_bits = (nb - 1).bit_length()
+        bhi_bits = max(0, bucket_bits - (32 - self._off_bits))
+        assert self._lane_bits + 8 + bhi_bits <= 32, \
+            (self._lane_bits, self._off_bits, bucket_bits)
 
     def _pick_out_cap(self, rows: int) -> int:
         """Accepted-lane download budget per (shard-local) batch: ~1
@@ -82,8 +102,7 @@ class DeviceMapper:
         batch split in half like the lane budget does."""
         cap = min(self.lane_budget, max(4 * self.cfg.max_candidate_buckets,
                                         -(-2 * rows // 128) * 128))
-        # offset/votes pack into one int32: votes <= locator_samples *
-        # MAX_OCC must fit 8 bits, offsets 23 bits (max bucket ~8 Mbp)
+        # votes are clipped to 8 bits in the packed lane (_init_pack_bits)
         assert self.cfg.locator_samples * FineLocator.MAX_OCC <= 255
         return cap
 
@@ -96,6 +115,15 @@ class DeviceMapper:
         env = os.environ.get("BMTPU_DEVICE_FINE", "auto")
         if env == "0" or self.mesh is not None:
             return
+        lb = self.index.buckets_packed.shape[1] * 16
+        est_bytes = 4 * self.index.n_buckets * lb
+        # a fine index that doesn't leave HBM room for the coarse table +
+        # activations must not be built: fall back to the table-free
+        # packed-scan vote path (the GRCh38-scale single-chip mode —
+        # 3.1 Gbp needs 12.5 GB of fine_packed alone, PERF.md §3)
+        max_gb = float(os.environ.get("BMTPU_DEVICE_FINE_MAX_GB", "8"))
+        if env != "1" and est_bytes > max_gb * (1 << 30):
+            return
         if env != "1":
             if jax.default_backend() == "cpu":
                 return  # host arrays transfer for free on CPU; keep tests
@@ -103,8 +131,6 @@ class DeviceMapper:
             # only worth a device sort when the upload it replaces is big
             # (tiny worlds keep their configured path and skip the
             # build-kernel compile)
-            lb = self.index.buckets_packed.shape[1] * 16
-            est_bytes = 4 * self.index.n_buckets * lb
             if est_bytes < (64 << 20):
                 return
         from bucketmap_tpu.index.device_build import build_fine_index_on_device
@@ -181,6 +207,7 @@ class DeviceMapper:
             "scan": (P(ba, None), P(ba)),
         }[self._vote_path]
         self.out_cap = self._pick_out_cap(self.batch_size // Dd)
+        self._init_pack_bits(self.batch_size // Dd)
         self._step = jax.jit(jax.shard_map(
             self._sharded_step_impl, mesh=mesh,
             in_specs=(P(None, ba), P(), P(), P(None, None), vote_specs,
@@ -292,24 +319,34 @@ class DeviceMapper:
         ones. Layout (decode_out is the inverse):
           [0]=n_accept [1]=total_valid [2]=local_valid [3]=out_cap
           [4]=data-shard index [5:8]=0
-          [8 : 8+2B]           counts (B, 2) int32
-          [8+2B : 8+2B+3*cap]  accepted lanes (cap, 3):
-                               [flat lane id, bucket, offset<<8 | votes]
+          [8 : 8+B]          counts (B, 2) as c0 << 16 | c1 (values <= C)
+          [8+B : 8+B+2*cap]  accepted lanes, 2 words each
+                             (bit layout: _init_pack_bits)
         """
         P = acc.shape[0]
         OC = self.out_cap
+        la, ob = self._lane_bits, self._off_bits
         akey = jnp.where(acc, jnp.arange(P, dtype=jnp.int32), P)
         aord = jnp.argsort(akey)[:OC]
         n_acc = acc.sum().astype(jnp.int32)
-        out3 = jnp.stack(
-            [sel[aord].astype(jnp.int32), bucket[aord],
-             (off[aord] << 8) | jnp.clip(votes[aord], 0, 255)],
-            axis=1)
+        bsel = sel[aord].astype(jnp.uint32)
+        bbk = bucket[aord].astype(jnp.uint32)
+        boff = off[aord].astype(jnp.uint32)
+        bv = jnp.clip(votes[aord], 0, 255).astype(jnp.uint32)
+        blo_bits = jnp.uint32(32 - ob)
+        w0 = bsel | (bv << jnp.uint32(la)) \
+            | ((bbk >> blo_bits) << jnp.uint32(la + 8))
+        w1 = boff | ((bbk & ((jnp.uint32(1) << blo_bits) - 1))
+                     << jnp.uint32(ob))
+        out2 = jax.lax.bitcast_convert_type(
+            jnp.stack([w0, w1], axis=1), jnp.int32)
+        cw = jax.lax.bitcast_convert_type(
+            (counts[:, 0].astype(jnp.uint32) << 16)
+            | counts[:, 1].astype(jnp.uint32), jnp.int32)
         hdr = jnp.stack([n_acc, total_valid, local_valid, jnp.int32(OC),
                          jnp.int32(0) if di is None else di,
                          jnp.int32(0), jnp.int32(0), jnp.int32(0)])
-        return jnp.concatenate([hdr, counts.astype(jnp.int32).reshape(-1),
-                                out3.reshape(-1)])
+        return jnp.concatenate([hdr, cw, out2.reshape(-1)])
 
     def decode_out(self, vec: np.ndarray, rows: int | None = None):
         """Host-side inverse of _pack_result. vec: the device_get of a
@@ -318,13 +355,14 @@ class DeviceMapper:
           lane_read/lane_rc/lane_bucket/offset/votes — accepted lanes
           (global read rows), counts (B, 2), total_valid, local_valid
           (per shard), n_accept (per shard)."""
-        vec = np.asarray(vec)
+        vec = np.ascontiguousarray(np.asarray(vec), dtype=np.int32)
         B = rows if rows is not None else self.batch_size
         Dd = getattr(self, "Dd", 1)
         Db = getattr(self, "Db", 1)
         Bl = B // Dd
         C = self.cfg.max_candidate_buckets
-        vl = 8 + 2 * Bl + 3 * self.out_cap
+        la, ob = self._lane_bits, self._off_bits
+        vl = 8 + Bl + 2 * self.out_cap
         assert vec.shape[0] == Dd * Db * vl, (vec.shape, Dd, Db, vl)
         counts = np.zeros((B, 2), np.int32)
         reads, rcs, buckets, offs, votes = [], [], [], [], []
@@ -337,13 +375,22 @@ class DeviceMapper:
             na, total_valid, lv = int(v[0]), int(v[1]), int(v[2])
             n_accept[d], local_valid[d] = na, lv
             if bi == 0:  # counts replicated across bucket shards
-                counts[di * Bl : (di + 1) * Bl] = v[8 : 8 + 2 * Bl].reshape(Bl, 2)
-            out3 = v[8 + 2 * Bl :].reshape(self.out_cap, 3)[: min(na, self.out_cap)]
-            reads.append(di * Bl + out3[:, 0] // (2 * C))
-            rcs.append((out3[:, 0] // C) % 2 == 1)
-            buckets.append(out3[:, 1])
-            offs.append(out3[:, 2] >> 8)
-            votes.append(out3[:, 2] & 0xFF)
+                cw = v[8 : 8 + Bl].view(np.uint32)
+                counts[di * Bl : (di + 1) * Bl, 0] = cw >> 16
+                counts[di * Bl : (di + 1) * Bl, 1] = cw & 0xFFFF
+            out2 = v[8 + Bl :].view(np.uint32).reshape(self.out_cap, 2)
+            out2 = out2[: min(na, self.out_cap)]
+            w0, w1 = out2[:, 0], out2[:, 1]
+            lane = (w0 & np.uint32((1 << la) - 1)).astype(np.int64)
+            reads.append(di * Bl + lane // (2 * C))
+            rcs.append((lane // C) % 2 == 1)
+            bucket = ((w1 >> np.uint32(ob)).astype(np.int64)
+                      | ((w0 >> np.uint32(la + 8)).astype(np.int64)
+                         << (32 - ob)))
+            buckets.append(bucket)
+            offs.append((w1 & np.uint32((1 << ob) - 1)).astype(np.int64))
+            votes.append(((w0 >> np.uint32(la)) & np.uint32(0xFF))
+                         .astype(np.int64))
         return {
             "lane_read": np.concatenate(reads),
             "lane_rc": np.concatenate(rcs),
