@@ -283,16 +283,18 @@ class DeviceMapper:
             f_sample_tab, codes, qual_ok, lengths)
 
         # ---- compact valid candidate lanes into the lane budget ----------
+        # scatter-by-rank (argsort over B*2*C keys costs a full sort
+        # pass; the compaction only needs valid lanes first in lane
+        # order). Slots past total_valid read lane 0 — everything
+        # downstream is masked by slot_ok.
         flat = cand.reshape(-1)                       # (B*2*C,)
         nl = flat.shape[0]
         lane = jnp.arange(nl, dtype=jnp.int32)
-        key = jnp.where(flat >= 0, lane, nl)
-        order = jnp.argsort(key)                      # valid lanes first
-        if nl < P:                                    # tiny worlds
-            order = jnp.concatenate(
-                [order, jnp.zeros(P - nl, order.dtype)])
-        sel = order[:P]                               # (P,)
-        total_valid = (flat >= 0).sum().astype(jnp.int32)
+        valid = flat >= 0
+        rank = jnp.cumsum(valid.astype(jnp.int32))
+        sel = jnp.zeros(P + 1, jnp.int32).at[
+            jnp.where(valid, rank - 1, P)].set(lane, mode="drop")[:P]
+        total_valid = rank[-1]
         slot_ok = jnp.arange(P, dtype=jnp.int32) < total_valid
         lane_read = sel // (2 * C)
         lane_rc = ((sel // C) % 2).astype(bool)
@@ -326,9 +328,11 @@ class DeviceMapper:
         P = acc.shape[0]
         OC = self.out_cap
         la, ob = self._lane_bits, self._off_bits
-        akey = jnp.where(acc, jnp.arange(P, dtype=jnp.int32), P)
-        aord = jnp.argsort(akey)[:OC]
-        n_acc = acc.sum().astype(jnp.int32)
+        arank = jnp.cumsum(acc.astype(jnp.int32))
+        aord = jnp.zeros(OC + 1, jnp.int32).at[
+            jnp.where(acc, arank - 1, OC)].set(
+            jnp.arange(P, dtype=jnp.int32), mode="drop")[:OC]
+        n_acc = arank[-1]
         bsel = sel[aord].astype(jnp.uint32)
         bbk = bucket[aord].astype(jnp.uint32)
         boff = off[aord].astype(jnp.uint32)
@@ -460,13 +464,10 @@ class DeviceMapper:
         nl = flat.shape[0]
         lane = jnp.arange(nl, dtype=jnp.int32)
         mine = (flat >= col0) & (flat < col0 + n_local)
-        key = jnp.where(mine, lane, nl)
-        order = jnp.argsort(key)
-        if nl < Pl:                                   # tiny worlds
-            order = jnp.concatenate(
-                [order, jnp.zeros(Pl - nl, order.dtype)])
-        sel = order[:Pl]
-        local_valid = mine.sum().astype(jnp.int32)
+        mrank = jnp.cumsum(mine.astype(jnp.int32))
+        sel = jnp.zeros(Pl + 1, jnp.int32).at[
+            jnp.where(mine, mrank - 1, Pl)].set(lane, mode="drop")[:Pl]
+        local_valid = mrank[-1]
         slot_ok = jnp.arange(Pl, dtype=jnp.int32) < local_valid
         lane_read = sel // (2 * C)
         lane_rc = ((sel // C) % 2).astype(bool)

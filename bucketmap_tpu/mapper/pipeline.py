@@ -120,6 +120,9 @@ class BucketMapPipeline:
             from bucketmap_tpu.ops.align import BandedAligner
             self.aligner = BandedAligner(index, pair_batch=pair_batch)
         self._bucket_sam_offset = index.ref_offset_of_bucket()
+        # vectorized 2-location merge fast path (tests toggle this to
+        # compare against the literal sequential merge)
+        self._vector_pair_merge = True
 
     # ------------------------------------------------------------------
     def _all_segments(self, batch: ReadBatch):
@@ -445,7 +448,57 @@ class BucketMapPipeline:
                 mv, mo = lvotes[multi_mask], lorig[multi_mask]
                 starts = np.nonzero(np.diff(mr, prepend=-1))[0]
                 ends = np.append(starts[1:], len(mr))
-                for a, b in zip(starts, ends):
+                runlen = ends - starts
+                pairable = (runlen == 2) if self._vector_pair_merge \
+                    else np.zeros_like(runlen, bool)
+                # 2-location runs (the bulk on real genomes) vectorize:
+                # the literal merge reduces to one comparison per pair
+                # (same bucket+strand within +-read_len*indel_rate ->
+                # vote sum onto the FIRST; else keep max-vote side(s),
+                # ties keep both in (bucket, offset, strand) key order)
+                p2 = starts[pairable]
+                if len(p2):
+                    i1, i2 = p2, p2 + 1
+                    x = batch.lengths[mr[i1]] * cfg.indel_rate
+                    lo = np.trunc(moff[i2] - x)
+                    hi = np.trunc(moff[i2] + x)
+                    merged = ((mbk[i1] == mbk[i2]) & (mo[i1] == mo[i2])
+                              & (lo <= moff[i1]) & (moff[i1] <= hi))
+                    k1_first = ((mbk[i1] < mbk[i2])
+                                | ((mbk[i1] == mbk[i2])
+                                   & ((moff[i1] < moff[i2])
+                                      | ((moff[i1] == moff[i2])
+                                         & (~mo[i1] | mo[i2])))))
+                    vsum = mv[i1] + mv[i2]
+                    for sel1, sel2, v1, v2 in (
+                            (merged, None, vsum, None),
+                            (~merged & (mv[i1] > mv[i2]), None, mv[i1], None),
+                            (~merged & (mv[i2] > mv[i1]), "i2", mv[i2], None),
+                            (~merged & (mv[i1] == mv[i2]) & k1_first, "both12",
+                             mv[i1], mv[i2]),
+                            (~merged & (mv[i1] == mv[i2]) & ~k1_first,
+                             "both21", mv[i1], mv[i2])):
+                        idx = np.nonzero(sel1)[0]
+                        if not len(idx):
+                            continue
+                        a1, a2 = i1[idx], i2[idx]
+                        if sel2 is None:        # first location wins
+                            m_read.extend(mr[a1]); m_bk.extend(mbk[a1])
+                            m_off.extend(moff[a1]); m_votes.extend(v1[idx])
+                            m_orig.extend(mo[a1])
+                        elif sel2 == "i2":      # second location wins
+                            m_read.extend(mr[a2]); m_bk.extend(mbk[a2])
+                            m_off.extend(moff[a2]); m_votes.extend(mv[a2])
+                            m_orig.extend(mo[a2])
+                        else:                   # tie: both, key order
+                            first, second = (a1, a2) if sel2 == "both12" \
+                                else (a2, a1)
+                            for aa in (first, second):
+                                m_read.extend(mr[aa]); m_bk.extend(mbk[aa])
+                                m_off.extend(moff[aa]); m_votes.extend(mv[aa])
+                                m_orig.extend(mo[aa])
+                # runs > 2: the literal sequential merge
+                for a, b in zip(starts[~pairable], ends[~pairable]):
                     r = int(mr[a])
                     locs = [Location(int(mbk[i]), int(moff[i]), 0,
                                      int(mv[i]), bool(mo[i]))

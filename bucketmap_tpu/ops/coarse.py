@@ -541,12 +541,18 @@ class CoarseMapper:
         num_good = good.sum(axis=1).astype(jnp.int32)
         give_up = num_good < min_good_kmers(cfg)
 
-        # stable extraction of good positions in increasing order
-        sort_key = jnp.where(good, pos[None, :], K + pos[None, :])
-        order = jnp.argsort(sort_key, axis=1)                       # (B, K)
+        # deterministic sampling of good positions in increasing order:
+        # the sel[j]-th good position is the unique one whose masked
+        # running rank equals sel[j]+1, so a broadcast compare + sum
+        # extracts all s samples in one streaming pass — no argsort
+        # (XLA's sort over (B, K) keys measured ~10x this reduction)
         ub = jnp.clip(num_good - 1, 0, sample_tab.shape[0] - 1)
         sel = sample_tab[ub]                                   # (B, s)
-        samp_pos = jnp.take_along_axis(order, sel, axis=1)          # (B, s)
+        rank = jnp.cumsum(good.astype(jnp.int32), axis=1)
+        r = jnp.where(good, rank, 0)
+        samp_pos = jnp.sum(
+            jnp.where(r[:, :, None] == (sel + 1)[:, None, :],
+                      pos[None, :, None], 0), axis=1).astype(jnp.int32)
         samp_hash = jnp.take_along_axis(kmers, samp_pos, axis=1)    # (B, s)
 
         both = jnp.stack([samp_hash, revcomp_hash(samp_hash, k, xp=jnp)],

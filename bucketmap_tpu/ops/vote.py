@@ -236,11 +236,15 @@ class FineLocator:
         good = jnp.where(use_all[:, None], valid, good)
         num_good = jnp.where(use_all, valid.sum(axis=1).astype(jnp.int32), num_good)
 
-        sort_key = jnp.where(good, pos[None, :], K + pos[None, :])
-        order = jnp.argsort(sort_key, axis=1)
+        # rank-match extraction of the sel-th good positions (no argsort
+        # — see ops/coarse.py:_sample_hashes_impl)
         ub = jnp.clip(num_good - 1, 0, sample_tab.shape[0] - 1)
         sel = sample_tab[ub]                                      # (S, p)
-        samp_idx = jnp.take_along_axis(order, sel, axis=1).astype(jnp.int32)
+        rank = jnp.cumsum(good.astype(jnp.int32), axis=1)
+        r = jnp.where(good, rank, 0)
+        samp_idx = jnp.sum(
+            jnp.where(r[:, :, None] == (sel + 1)[:, None, :],
+                      pos[None, :, None], 0), axis=1).astype(jnp.int32)
         samp_hash = jnp.take_along_axis(kmers, samp_idx, axis=1)
         return samp_hash, samp_idx
 

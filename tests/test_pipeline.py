@@ -188,3 +188,74 @@ def test_pipeline_with_fine_index(world, tmp_path):
                 correct += 1
                 break
     assert correct >= 180, f"{correct}/200"
+
+
+def test_vectorized_pair_merge_matches_literal(tmp_path):
+    """The vectorized 2-location merge fast path must emit exactly the
+    records of the literal filter_best_locations for every pair shape:
+    merged (same bucket+strand, close), max-vote winner (either side),
+    and equal-vote ties (both records, key order)."""
+    import numpy as np
+
+    from bucketmap_tpu.config import MapperConfig
+    from bucketmap_tpu.index.builder import build_fine_index, build_index
+    from bucketmap_tpu.mapper.pipeline import BucketMapPipeline, MapStats
+    from bucketmap_tpu.sim.simulator import ShortReadSimulator, random_genome
+
+    cfg = MapperConfig(bucket_len=1024, read_len=100, index_seed=5,
+                       query_seed=8, mapper_samples=6, locator_samples=5)
+    genome = random_genome(40_000, seed=11, n_refs=2)
+    index = build_index(genome, cfg)
+    build_fine_index(index)
+    sim = ShortReadSimulator(cfg, substitution_rate=0.0, seed=12)
+    sim.read(genome)
+    sim.generate(tmp_path, "r", 32)
+    pipe = BucketMapPipeline(index, batch_size=32, pair_batch=32)
+
+    from bucketmap_tpu.io.fastq import read_fastq
+    import os
+    batch = read_fastq(os.path.join(tmp_path, "r.fastq"))
+
+    rng = np.random.default_rng(5)
+    n = 400
+    r = np.repeat(np.arange(n // 2, dtype=np.int64) % 32, 2)
+    bk = rng.integers(0, index.n_buckets, n)
+    # force many same-bucket pairs so all branches trigger
+    bk[1::2] = np.where(rng.random(n // 2) < 0.6, bk[0::2], bk[1::2])
+    off = rng.integers(1, 900, n)
+    off[1::2] = np.where(rng.random(n // 2) < 0.5,
+                         np.clip(off[0::2] + rng.integers(-15, 15, n // 2),
+                                 1, None), off[1::2])
+    votes = rng.integers(1, 6, n)
+    votes[1::2] = np.where(rng.random(n // 2) < 0.4, votes[0::2], votes[1::2])
+    orig = rng.random(n) < 0.5
+    orig[1::2] = np.where(rng.random(n // 2) < 0.6, orig[0::2], orig[1::2])
+    order = np.lexsort((~orig, bk, r))
+    chunk = (r[order], bk[order], off[order].astype(np.int64),
+             votes[order].astype(np.int64), orig[order],
+             np.zeros(n, np.int64))
+
+    class Rec:
+        def __init__(self):
+            self.rows = []
+        def write(self, *a):
+            self.rows.append(a)
+        _f = None
+
+    outs = []
+    for flag in (True, False):
+        pipe._vector_pair_merge = flag
+        w = Rec()
+        # force the python writer (deterministic capture)
+        import bucketmap_tpu.mapper.pipeline as pl_mod
+        from bucketmap_tpu.io import native as native_mod
+        avail = native_mod.available
+        native_mod.available = lambda: False
+        try:
+            pipe._emit_locations(w, batch, chunk, cfg.quality_threshold,
+                                 MapStats())
+        finally:
+            native_mod.available = avail
+        outs.append(w.rows)
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
