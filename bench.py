@@ -35,7 +35,7 @@ GENOME_MBP = float(os.environ.get("BMTPU_BENCH_GENOME_MBP", "1700"))
 LONG = os.environ.get("BMTPU_BENCH_LONG", "0") == "1"
 NUM_READS = int(os.environ.get("BMTPU_BENCH_READS",
                                "100000" if LONG else "1000000"))
-BATCH = int(os.environ.get("BMTPU_BENCH_BATCH", "8192"))
+BATCH = int(os.environ.get("BMTPU_BENCH_BATCH", "16384"))
 ALIGN = os.environ.get("BMTPU_BENCH_ALIGN", "0") == "1"
 UNIFORM = os.environ.get("BMTPU_BENCH_UNIFORM", "0") == "1"
 # FracMinHash fraction of q-grams kept in the coarse index (-f). The
