@@ -521,17 +521,9 @@ class FineLocator:
         bid = bucket_ids[:, None]
         lo = fine_ptab[bid, prefix]
         seg_hi = fine_ptab[bid, prefix + 1]
-        # binary search stops once the remaining range fits the window
-        # tail: a range <= W - O means the lower bound AND its first O
-        # occurrences all lie in [lo, lo + W), so ONE contiguous W-slot
-        # gather replaces the last log2(W-O) scattered probe rounds and
-        # the separate occurrence gather. Exact for any segment length
-        # (validity still checks the ORIGINAL segment end).
-        W = 32
-        tail_steps = (W - O).bit_length() - 1       # range <= 16 = W - O
         hi = seg_hi
-        for _ in range(max(0, self.search_steps - tail_steps)):
-            active = (hi - lo) > (W - O)
+        for _ in range(self.search_steps):
+            active = lo < hi
             mid = (lo + hi) // 2
             v = (fine_packed[bid, jnp.clip(mid, 0, lpos - 1)]
                  & low_mask).astype(jnp.int32)
@@ -539,21 +531,12 @@ class FineLocator:
             lo = jnp.where(below, mid + 1, lo)
             hi = jnp.where(active & ~below, mid, hi)
 
-        win_idx = lo[:, :, None] + jnp.arange(W, dtype=jnp.int32)  # (P,p,W)
-        pk = fine_packed[bid[:, :, None], jnp.clip(win_idx, 0, lpos - 1)]
-        m = ((pk & low_mask).astype(jnp.int32) == low[:, :, None]) \
-            & (win_idx < seg_hi[:, :, None])
-        # first O matches in slot order (consecutive within the window)
-        rank = jnp.cumsum(m.astype(jnp.int32), axis=2)
-        occ_sel = jnp.sum(
-            jnp.where((jnp.where(m, rank, 0)[..., None]
-                       == 1 + jnp.arange(O, dtype=jnp.int32)),
-                      win_idx[..., None] - lo[:, :, None, None], 0),
-            axis=2)                                                # (P,p,O)
-        occ_valid = jnp.arange(O, dtype=jnp.int32) < rank[..., -1:]
-        pk_sel = jnp.take_along_axis(pk, occ_sel, axis=2)
-        occ_pos = jnp.where(occ_valid,
-                            (pk_sel >> low_bits).astype(jnp.int32), 0)
+        occ_idx = lo[:, :, None] + jnp.arange(O, dtype=jnp.int32)  # (P,p,O)
+        occ_clamped = jnp.clip(occ_idx, 0, lpos - 1)
+        pk = fine_packed[bid[:, :, None], occ_clamped]             # ONE gather
+        occ_low = (pk & low_mask).astype(jnp.int32)
+        occ_valid = (occ_idx < seg_hi[:, :, None]) & (occ_low == low[:, :, None])
+        occ_pos = jnp.where(occ_valid, (pk >> low_bits).astype(jnp.int32), 0)
         prop = occ_pos - tgt_idx[:, :, None]
         return self._tally(prop, occ_valid, is_rc)
 
