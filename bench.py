@@ -35,8 +35,11 @@ GENOME_MBP = float(os.environ.get("BMTPU_BENCH_GENOME_MBP", "1700"))
 LONG = os.environ.get("BMTPU_BENCH_LONG", "0") == "1"
 NUM_READS = int(os.environ.get("BMTPU_BENCH_READS",
                                "100000" if LONG else "1000000"))
-BATCH = int(os.environ.get("BMTPU_BENCH_BATCH", "16384"))
 ALIGN = os.environ.get("BMTPU_BENCH_ALIGN", "0") == "1"
+# align mode holds the DP direction tensors alongside the map step's
+# transients — 16384-row batches OOM one v5e with the resident index
+BATCH = int(os.environ.get("BMTPU_BENCH_BATCH",
+                           "8192" if ALIGN else "16384"))
 UNIFORM = os.environ.get("BMTPU_BENCH_UNIFORM", "0") == "1"
 # FracMinHash fraction of q-grams kept in the coarse index (-f). The
 # reference ships a GRCh38 f=0.25 variant (log/bucketmap_fracMinHash_map.log)

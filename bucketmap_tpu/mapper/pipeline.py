@@ -119,6 +119,9 @@ class BucketMapPipeline:
         if align:
             from bucketmap_tpu.ops.align import BandedAligner
             self.aligner = BandedAligner(index, pair_batch=pair_batch)
+            # share the device-resident packed genome with the fine
+            # stage (a second jnp.asarray would duplicate 0.4+ GB of HBM)
+            self.aligner.buckets_packed = self.fine.buckets_packed
         self._bucket_sam_offset = index.ref_offset_of_bucket()
         # vectorized 2-location merge fast path (tests toggle this to
         # compare against the literal sequential merge)
@@ -384,6 +387,26 @@ class BucketMapPipeline:
         writer = SamWriter(sam_path, [n for n in self.index.ref_names],
                            self.index.sam_ref_lengths())
         qt = cfg.quality_threshold if quality_threshold is None else quality_threshold
+
+        if self.align:
+            # two-phase: locate everything first, then align ALL
+            # locations in one pass. Interleaving per-chunk alignment
+            # with the map loop puts each align job behind the queued
+            # map dispatches on the in-order device (measured 1.4 s per
+            # 13k-location chunk); batched at the end, the aligner's
+            # async sub-batch dispatches overlap their own downloads.
+            chunks = list(self.locate_chunks(batch, stats))
+            t0 = time.perf_counter()
+            if chunks:
+                chunk = tuple(np.concatenate([c[i] for c in chunks])
+                              for i in range(6))
+            else:
+                z = np.zeros(0, np.int64)
+                chunk = (z, z, z, z, np.zeros(0, bool), z)
+            self._emit_locations(writer, batch, chunk, qt, stats)
+            stats.output_seconds += time.perf_counter() - t0
+            writer.close()
+            return stats
 
         q: queue.Queue = queue.Queue(maxsize=max(2, self.prefetch))
         werr: list[BaseException] = []

@@ -55,9 +55,23 @@ class BandedAligner:
         self.index = index
         self.cfg = index.config
         self.pair_batch = pair_batch
-        self.buckets_packed = jnp.asarray(index.buckets_packed)
+        # lazy device transfer: the pipeline installs the fine stage's
+        # device-resident copy instead (a second upload would duplicate
+        # 0.4+ GB of HBM at genome scale)
+        self._bp_host = index.buckets_packed
+        self._bp_dev = None
         self.bucket_lengths = jnp.asarray(index.bucket_lengths)
         self._align = jax.jit(self._align_impl)
+
+    @property
+    def buckets_packed(self):
+        if self._bp_dev is None:
+            self._bp_dev = jnp.asarray(self._bp_host)
+        return self._bp_dev
+
+    @buckets_packed.setter
+    def buckets_packed(self, v):
+        self._bp_dev = v
 
     # ------------------------------------------------------------------
     def _extract_windows(self, buckets_packed, bucket_ids, offsets, wmax: int):
@@ -182,24 +196,44 @@ class BandedAligner:
         max_ops = q + 2 * LO
         ow = -(-max_ops // 16)
         out_ops = np.zeros((n, max_ops), np.uint8)
-        pb = self.pair_batch
+        # the DP's direction tensor is (Q+1, pb, BAND) uint8 — ~40 KB per
+        # pair; cap the sub-batch so two windows in flight stay well under
+        # the HBM headroom left by the resident index
+        pb = min(self.pair_batch, 8192)
         shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
-        for s in range(0, n, pb):
-            e = min(s + pb, n)
+        # sliding dispatch window: keep a few sub-batches in flight so
+        # device compute of batch i+1 proceeds while batch i downloads
+        # (fully eager dispatch of a 1.5M-location workload exhausts HBM
+        # with ~95 live input/workspace buffers)
+        bounds = [(s, min(s + pb, n)) for s in range(0, n, pb)]
+        pending: list = []
+        next_b = 0
+
+        def _dispatch_one():
+            nonlocal next_b
+            s, e = bounds[next_b]
+            next_b += 1
             pad = pb - (e - s)
             def _p(a, fill=0):
                 a = np.asarray(a[s:e])
                 return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
-            sc, bg, packed = self._align(
+            pending.append((s, e, self._align(
                 self.buckets_packed,
                 jnp.asarray(_p(qcodes)), jnp.asarray(_p(qlen, 1), dtype=jnp.int32),
                 jnp.asarray(_p(bucket_ids)), jnp.asarray(_p(offsets)),
-                jnp.asarray(_p(is_rc)), jnp.asarray(_p(width, 1)))
+                jnp.asarray(_p(is_rc)), jnp.asarray(_p(width, 1)))))
+
+        while next_b < len(bounds) and len(pending) < 2:
+            _dispatch_one()
+        while pending:
+            s, e, (sc, bg, packed) = pending.pop(0)
             out_s[s:e] = np.asarray(sc)[: e - s]
             out_b[s:e] = np.asarray(bg)[: e - s]
             pk = np.asarray(packed)[: e - s]                # (rows, ow) u32
             ops = ((pk[:, :, None] >> shifts) & 3).astype(np.uint8)
             out_ops[s:e] = ops.reshape(e - s, ow * 16)[:, :max_ops]
+            if next_b < len(bounds):
+                _dispatch_one()
         return out_s, out_b, out_ops
 
 
