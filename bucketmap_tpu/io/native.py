@@ -56,6 +56,10 @@ def _load():
             lib.bmtpu_pack_reads.argtypes = [
                 i64, i64, u8p, u8p, i32p, i64, i64,
                 np.ctypeslib.ndpointer(np.uint32)]
+            lib.bmtpu_cigar_rle.restype = i64
+            lib.bmtpu_cigar_rle.argtypes = [
+                i64, i64, i64, np.ctypeslib.ndpointer(np.uint32),
+                np.ctypeslib.ndpointer(np.uint8), i64, i64p]
             lib.bmtpu_format_sam.restype = i64
             lib.bmtpu_format_sam.argtypes = [
                 i64, i32p, i64p, np.ctypeslib.ndpointer(np.uint8),
@@ -118,6 +122,24 @@ def pack_reads(codes, quals, lengths, k: int, min_kmer_quality: int):
                          np.ascontiguousarray(lengths, np.int32),
                          k, min_kmer_quality, out)
     return out
+
+
+def cigar_rle(packed: np.ndarray, max_ops: int):
+    """Native CIGAR run-length encoding of 2-bit packed reversed
+    traceback rows -> (cigar_buf bytes, offsets (n+1,) int64), or None
+    when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint32)
+    n, ow = packed.shape
+    offsets = np.zeros(n + 1, np.int64)
+    # worst case: alternating ops, 2+ bytes per op; 8*max_ops is generous
+    buf = np.empty(max(4096, 8 * max_ops * max(n, 1)), np.uint8)
+    w = lib.bmtpu_cigar_rle(n, ow, max_ops, packed, buf, len(buf), offsets)
+    if w < 0:
+        raise RuntimeError("CIGAR RLE buffer overflow")
+    return buf[:w].tobytes(), offsets
 
 
 def format_sam_records(qid, id_offsets, ids_buf, flag, rid, rname_offsets,

@@ -548,17 +548,16 @@ class BucketMapPipeline:
             rec_mapq = np.minimum(60, 6 * rec_votes).astype(np.int32)
             rec_cigar = None
         else:
-            # align mode: every location goes through the banded aligner
-            from bucketmap_tpu.ops.align import ops_to_cigar
-
+            # align mode: every location goes through the banded aligner;
+            # tracebacks are RLE'd to CIGAR bytes per sub-batch (native C)
             if len(lr):
                 lri = lr.astype(np.int32)
-                scores, begins, ops = self.aligner.align_batch(
+                scores, begins, cbuf, coffs = self.aligner.align_batch_cigars(
                     batch.codes[lri], batch.lengths[lri],
                     lbk.astype(np.int32), loff.astype(np.int32), ~lorig)
             else:
                 scores = begins = np.zeros(0, np.int32)
-                ops = np.zeros((0, 1), np.uint8)
+                cbuf, coffs = b"", np.zeros(1, np.int64)
             # size_t wrap: scores below -60 bypass the threshold
             # (bucket_locator.h:571); seqan3 then truncates to uint8
             mapq = 60 + scores.astype(np.int64)
@@ -569,8 +568,18 @@ class BucketMapPipeline:
             rec_flag = np.where(lorig[keep], 0, 16).astype(np.int32)
             rec_pos0 = bucket_sam_off[rec_bucket] + begins[keep] + loff[keep]
             rec_mapq = mapq[keep].astype(np.int32)
-            rec_cigar = [ops_to_cigar(ops[i]).encode()
-                         for i in np.nonzero(keep)[0]]
+            # gather the kept rows' CIGAR byte spans (vectorized)
+            kidx = np.nonzero(keep)[0]
+            klens = coffs[kidx + 1] - coffs[kidx]
+            koffs = np.zeros(len(kidx) + 1, np.int64)
+            np.cumsum(klens, out=koffs[1:])
+            if len(kidx) and koffs[-1]:
+                src = (np.repeat(coffs[kidx] - koffs[:-1], klens)
+                       + np.arange(koffs[-1], dtype=np.int64))
+                kbuf = np.frombuffer(cbuf, np.uint8)[src].tobytes()
+            else:
+                kbuf = b""
+            rec_cigar = (kbuf, koffs)
         stats.mapped_locations += len(rec_read)
         self._emit_records(writer, batch, rec_read, rec_flag, rec_bucket,
                            rec_pos0, rec_mapq, rec_cigar)
@@ -578,8 +587,15 @@ class BucketMapPipeline:
     # ------------------------------------------------------------------
     def _emit_records(self, writer, batch, rec_read, rec_flag, rec_bucket,
                       rec_pos0, rec_mapq, rec_cigar):
-        """rec_cigar: list of bytes per record, or None = all '*'."""
+        """rec_cigar: (cigar_buf bytes, (n+1,) offsets) per-record spans
+        (empty span = '*'), a list of bytes per record, or None = all '*'."""
         from bucketmap_tpu.io import native
+
+        if isinstance(rec_cigar, list):
+            buf = b"".join(rec_cigar)
+            offs = np.zeros(len(rec_cigar) + 1, np.int64)
+            np.cumsum([len(c) for c in rec_cigar], out=offs[1:])
+            rec_cigar = (buf, offs)
 
         bucket_names = self.index.bucket_names
         if native.available() and len(rec_read):
@@ -595,9 +611,8 @@ class BucketMapPipeline:
                 cigar_buf = b"\0"
                 cigar_offsets = np.zeros(len(rec_read) + 1, np.int64)
             else:
-                cigar_buf = b"".join(rec_cigar) or b"\0"
-                cigar_offsets = np.zeros(len(rec_cigar) + 1, np.int64)
-                np.cumsum([len(c) for c in rec_cigar], out=cigar_offsets[1:])
+                cigar_buf = rec_cigar[0] or b"\0"
+                cigar_offsets = rec_cigar[1]
             rr = np.asarray(rec_read, np.int32)
             out = native.format_sam_records(
                 rr, id_offsets, np.ascontiguousarray(ids_buf, np.uint8),
@@ -616,7 +631,9 @@ class BucketMapPipeline:
             r = int(rec_read[i])
             seq = batch.seq_ascii[r, : batch.lengths[r]].tobytes().decode()
             qual = batch.qual_ascii[r, : batch.lengths[r]].tobytes().decode()
-            cig = "*" if rec_cigar is None else (rec_cigar[i].decode() or "*")
+            cig = "*" if rec_cigar is None else (
+                rec_cigar[0][rec_cigar[1][i]:rec_cigar[1][i + 1]].decode()
+                or "*")
             writer.write(batch.ids[r], int(rec_flag[i]),
                          bucket_names[int(rec_bucket[i])],
                          int(rec_pos0[i]), int(rec_mapq[i]), seq, qual, cig)

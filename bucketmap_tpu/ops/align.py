@@ -82,13 +82,13 @@ class BandedAligner:
         by width.
         """
         words_needed = wmax // 16 + 2
-        packed = buckets_packed[bucket_ids]                  # (P, Wb)
-        word0 = jnp.clip(offsets, 0, None) // 16
-
-        def slice_row(row, w0):
-            return jax.lax.dynamic_slice(row, (w0,), (words_needed,))
         wb = buckets_packed.shape[1]
-        win_words = jax.vmap(slice_row)(packed, jnp.clip(word0, 0, wb - words_needed))
+        word0 = jnp.clip(jnp.clip(offsets, 0, None) // 16, 0, wb - words_needed)
+        # direct (P, words_needed) gather — a whole-bucket row gather
+        # followed by per-row dynamic_slice would move ~16 KB/pair of
+        # HBM for ~440 B of window
+        cols = word0[:, None] + jnp.arange(words_needed, dtype=jnp.int32)[None, :]
+        win_words = buckets_packed[bucket_ids[:, None], cols]
         shifts = jnp.arange(16, dtype=jnp.uint32) * 2
         bases = (win_words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
         flat = bases.reshape(bases.shape[0], -1)             # (P, 16*words_needed)
@@ -182,29 +182,20 @@ class BandedAligner:
         return score, begin, packed
 
     # ------------------------------------------------------------------
-    def align_batch(self, qcodes: np.ndarray, qlen, bucket_ids, offsets, is_rc):
-        """Batched with host padding; returns (score, begin, ops) numpy."""
+    def _run_batched(self, qcodes, qlen, bucket_ids, offsets, is_rc, consume):
+        """Sliding-window sub-batch driver: dispatches pb-row jobs, keeps
+        two in flight (device compute of batch i+1 overlaps batch i's
+        download AND the host-side `consume(s, e, sc, bg, packed)` work).
+        Fully eager dispatch of a 1.5M-location workload exhausts HBM
+        with ~95 live input/workspace buffers; the DP's direction tensor
+        is (Q+1, pb, BAND) uint8 — ~40 KB per pair — so pb caps at 8192."""
         cfg = self.cfg
         n = len(bucket_ids)
-        q = qcodes.shape[1]
         width = np.minimum(
             qlen + 1 + (cfg.indel_rate * qlen).astype(np.int64),
             np.asarray(self.index.bucket_lengths)[bucket_ids] - offsets,
         ).astype(np.int32)
-        out_s = np.zeros(n, np.int32)
-        out_b = np.zeros(n, np.int32)
-        max_ops = q + 2 * LO
-        ow = -(-max_ops // 16)
-        out_ops = np.zeros((n, max_ops), np.uint8)
-        # the DP's direction tensor is (Q+1, pb, BAND) uint8 — ~40 KB per
-        # pair; cap the sub-batch so two windows in flight stay well under
-        # the HBM headroom left by the resident index
         pb = min(self.pair_batch, 8192)
-        shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
-        # sliding dispatch window: keep a few sub-batches in flight so
-        # device compute of batch i+1 proceeds while batch i downloads
-        # (fully eager dispatch of a 1.5M-location workload exhausts HBM
-        # with ~95 live input/workspace buffers)
         bounds = [(s, min(s + pb, n)) for s in range(0, n, pb)]
         pending: list = []
         next_b = 0
@@ -227,14 +218,72 @@ class BandedAligner:
             _dispatch_one()
         while pending:
             s, e, (sc, bg, packed) = pending.pop(0)
-            out_s[s:e] = np.asarray(sc)[: e - s]
-            out_b[s:e] = np.asarray(bg)[: e - s]
-            pk = np.asarray(packed)[: e - s]                # (rows, ow) u32
-            ops = ((pk[:, :, None] >> shifts) & 3).astype(np.uint8)
-            out_ops[s:e] = ops.reshape(e - s, ow * 16)[:, :max_ops]
             if next_b < len(bounds):
                 _dispatch_one()
+            consume(s, e, np.asarray(sc)[: e - s], np.asarray(bg)[: e - s],
+                    np.asarray(packed)[: e - s])
+
+    def align_batch(self, qcodes: np.ndarray, qlen, bucket_ids, offsets, is_rc):
+        """Batched with host padding; returns (score, begin, ops) numpy."""
+        n = len(bucket_ids)
+        q = qcodes.shape[1]
+        max_ops = q + 2 * LO
+        ow = -(-max_ops // 16)
+        out_s = np.zeros(n, np.int32)
+        out_b = np.zeros(n, np.int32)
+        out_ops = np.zeros((n, max_ops), np.uint8)
+        shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+
+        def consume(s, e, sc, bg, pk):
+            out_s[s:e] = sc
+            out_b[s:e] = bg
+            ops = ((pk[:, :, None] >> shifts) & 3).astype(np.uint8)
+            out_ops[s:e] = ops.reshape(e - s, ow * 16)[:, :max_ops]
+
+        self._run_batched(qcodes, qlen, bucket_ids, offsets, is_rc, consume)
         return out_s, out_b, out_ops
+
+    def align_batch_cigars(self, qcodes, qlen, bucket_ids, offsets, is_rc):
+        """Like align_batch but run-length-encodes each traceback into its
+        CIGAR as sub-batches arrive (native C when available), never
+        materializing the (n, max_ops) uint8 ops matrix — 568 MB at 1.5M
+        locations. Returns (score, begin, cigar_buf bytes, offsets)."""
+        from bucketmap_tpu.io import native
+
+        n = len(bucket_ids)
+        q = qcodes.shape[1]
+        max_ops = q + 2 * LO
+        ow = -(-max_ops // 16)
+        out_s = np.zeros(n, np.int32)
+        out_b = np.zeros(n, np.int32)
+        bufs: list[bytes] = []
+        lens = np.zeros(n, np.int64)
+        use_native = native.available()
+        shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+
+        def consume(s, e, sc, bg, pk):
+            out_s[s:e] = sc
+            out_b[s:e] = bg
+            res = native.cigar_rle(pk, max_ops) if use_native else None
+            if res is not None:
+                buf, offs = res
+            else:
+                ops = ((pk[:, :, None] >> shifts) & 3).astype(np.uint8)
+                ops = ops.reshape(e - s, ow * 16)[:, :max_ops]
+                parts = []
+                offs = np.zeros(e - s + 1, np.int64)
+                for i in range(e - s):
+                    c = ops_to_cigar(ops[i])
+                    parts.append(b"" if c == "*" else c.encode())
+                    offs[i + 1] = offs[i] + len(parts[-1])
+                buf = b"".join(parts)
+            bufs.append(buf)
+            lens[s:e] = np.diff(offs)
+
+        self._run_batched(qcodes, qlen, bucket_ids, offsets, is_rc, consume)
+        offsets_out = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offsets_out[1:])
+        return out_s, out_b, b"".join(bufs), offsets_out
 
 
 def ops_to_cigar(ops_row: np.ndarray) -> str:

@@ -150,6 +150,45 @@ void bmtpu_pack_reads(int64_t n, int64_t L, const unsigned char* codes,
     }
 }
 
+// Run-length-encode banded-DP tracebacks into CIGAR strings.
+//   packed: (n, ow) uint32 rows of 2-bit op codes (1=M 2=I 3=D), 16/word
+//           LSB-first, in REVERSED traceback order; 0-codes pad the tail.
+//   max_ops: number of valid code positions per row (<= 16*ow).
+//   out_buf/out_offsets: concatenated CIGAR bytes + (n+1) offsets; a row
+//           with no ops gets an empty span (caller prints "*").
+// Returns total bytes written, or -1 on overflow.
+int64_t bmtpu_cigar_rle(int64_t n, int64_t ow, int64_t max_ops,
+                        const uint32_t* packed, char* out_buf, int64_t cap,
+                        int64_t* out_offsets) {
+    static const char op_char[4] = {'?', 'M', 'I', 'D'};
+    int64_t w = 0;
+    unsigned char codes[4096];
+    if (max_ops > 4096) return -1;
+    for (int64_t r = 0; r < n; r++) {
+        out_offsets[r] = w;
+        const uint32_t* row = packed + r * ow;
+        int64_t len = 0;  // nonzero prefix length
+        for (int64_t t = 0; t < max_ops; t++) {
+            unsigned char c = (unsigned char)((row[t >> 4] >> (2 * (t & 15))) & 3);
+            if (c == 0) break;
+            codes[len++] = c;
+        }
+        // reversed codes -> emit runs back-to-front
+        int64_t t = len - 1;
+        while (t >= 0) {
+            unsigned char c = codes[t];
+            int64_t s = t;
+            while (s > 0 && codes[s - 1] == c) s--;
+            if (w + 16 > cap) return -1;
+            w += sprintf(out_buf + w, "%lld%c", (long long)(t - s + 1),
+                         op_char[c]);
+            t = s - 1;
+        }
+    }
+    out_offsets[n] = w;
+    return w;
+}
+
 // Format SAM alignment records into `out` (capacity out_cap).
 //   n records; per-record fields:
 //     qname: ids_buf + id_offsets[qid[i]] .. id_offsets[qid[i]+1]
