@@ -36,6 +36,7 @@ equal-score alignments; scores and positions agree.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,88 @@ LO = 32          # j - i >= -LO
 _OP_CHARS = {1: "M", 2: "I", 3: "D"}
 
 
+def _dp_fwd_pallas(textp_t, qcodes_t, qlen_row, width_row,
+                   interpret: bool = False):
+    """Forward banded DP as a Pallas TPU kernel.
+
+    The XLA scan formulation pays ~0.67 ms/row at (8192, 128): every
+    step round-trips the (P, BAND) wavefront carry and its temporaries
+    through HBM. Here the whole recurrence runs VMEM-resident per block
+    of PB=128 pairs, with the band on sublanes and pairs on lanes
+    (one (128, 128) i32 tile per wavefront); only the direction rows
+    stream out. Semantics identical to the scan path (same cummax
+    max-plus transform, validity masking, and dir codes).
+
+    textp_t (W, P) i32 LO-left-padded window text (sentinel 4);
+    qcodes_t (Q, P) i32; qlen_row/width_row (1, P) i32.
+    Returns dirs_t (Q+1, BAND, P) uint8, final_t (BAND, P) int32.
+    """
+    from jax.experimental import pallas as pl
+
+    W, P = textp_t.shape
+    Q = qcodes_t.shape[0]
+    PB = 128
+    assert P % PB == 0, (P, PB)
+
+    def kernel(textp_ref, qcodes_ref, qlen_ref, width_ref,
+               dirs_ref, final_ref):
+        width = width_ref[0][None, :]                     # (1, PB)
+        qlen = qlen_ref[0][None, :]
+        d_col = jax.lax.broadcasted_iota(jnp.int32, (BAND, PB), 0)
+        j0 = d_col - LO
+        row0 = jnp.where((j0 >= 0) & (j0 <= width), 0, NEG)
+        dirs_ref[0] = jnp.zeros((BAND, PB), jnp.uint8)    # row 0 all stop
+        negrow = jnp.full((1, PB), NEG, jnp.int32)
+        init_final = jnp.where(qlen == 0, row0,
+                               jnp.full((BAND, PB), NEG, jnp.int32))
+
+        def step(i, carry):
+            prev, final = carry
+            qchar = qcodes_ref[pl.ds(i - 1, 1), :]        # (1, PB)
+            trow = textp_ref[pl.ds(i - 1, BAND), :]       # (BAND, PB)
+            sub = jnp.where(trow == qchar, 0, -1)
+            diag = prev + sub
+            up = jnp.concatenate([prev[1:], negrow], axis=0) - 1
+            base = jnp.maximum(diag, up)
+            m = base + d_col
+            for k in (1, 2, 4, 8, 16, 32, 64):            # cummax over d
+                m = jnp.maximum(m, jnp.concatenate(
+                    [jnp.full((k, PB), NEG, jnp.int32), m[:BAND - k]],
+                    axis=0))
+            m = m - d_col
+            j = i + d_col - LO
+            valid = (j >= 0) & (j <= width)
+            m = jnp.where(valid, m, NEG)
+            dirs = jnp.where(m == diag, 1, jnp.where(m == up, 2, 3))
+            dirs = jnp.where(valid & (m > NEG // 2), dirs, 0)
+            dirs_ref[pl.ds(i, 1)] = dirs.astype(jnp.uint8)[None]
+            final = jnp.where(i == qlen, m, final)
+            return (m, final)
+
+        _, final = jax.lax.fori_loop(1, Q + 1, step, (row0, init_final))
+        final_ref[:] = final
+
+    return pl.pallas_call(
+        kernel,
+        grid=(P // PB,),
+        in_specs=[
+            pl.BlockSpec((W, PB), lambda b: (0, b)),
+            pl.BlockSpec((Q, PB), lambda b: (0, b)),
+            pl.BlockSpec((1, PB), lambda b: (0, b)),
+            pl.BlockSpec((1, PB), lambda b: (0, b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q + 1, BAND, PB), lambda b: (0, 0, b)),
+            pl.BlockSpec((BAND, PB), lambda b: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q + 1, BAND, P), jnp.uint8),
+            jax.ShapeDtypeStruct((BAND, P), jnp.int32),
+        ],
+        interpret=interpret,
+    )(textp_t, qcodes_t, qlen_row, width_row)
+
+
 class BandedAligner:
     def __init__(self, index: BucketIndex, pair_batch: int = 512):
         self.index = index
@@ -61,6 +144,18 @@ class BandedAligner:
         self._bp_host = index.buckets_packed
         self._bp_dev = None
         self.bucket_lengths = jnp.asarray(index.bucket_lengths)
+        # forward-DP backend: the VMEM-resident Pallas kernel on TPU,
+        # the lax.scan twin elsewhere (tests/dryruns run on CPU).
+        # BMTPU_ALIGN_DP=pallas|scan overrides; BMTPU_PALLAS_INTERPRET=1
+        # interprets the kernel.
+        env = os.environ.get("BMTPU_ALIGN_DP", "auto")
+        self._dp_interpret = \
+            os.environ.get("BMTPU_PALLAS_INTERPRET", "0") == "1"
+        if env in ("pallas", "scan"):
+            self._dp_mode = env
+        else:
+            self._dp_mode = ("scan" if jax.default_backend() == "cpu"
+                             else "pallas")
         self._align = jax.jit(self._align_impl)
 
     @property
@@ -145,11 +240,27 @@ class BandedAligner:
             final_row = jnp.where((i == qlen)[:, None], m, final_row)
             return (m, final_row), dirs
 
-        init_final = jnp.where((qlen == 0)[:, None], row0, jnp.full((P, BAND), NEG))
-        (_, final_row), dirs = jax.lax.scan(
-            step, (row0, init_final), jnp.arange(1, Q + 1))
-        dirs = jnp.concatenate(
-            [jnp.zeros((1, P, BAND), jnp.uint8), dirs])      # row 0 all stop
+        if self._dp_mode == "pallas":
+            Pp = -(-P // 128) * 128                          # pad to block
+            pad = ((0, 0), (0, Pp - P))
+            dirs_t, final_t = _dp_fwd_pallas(
+                jnp.pad(textp.T, ((0, 0), (0, Pp - P)), constant_values=4),
+                jnp.pad(qcodes.astype(jnp.int32).T, pad),
+                jnp.pad(qlen[None, :], pad, constant_values=1),
+                jnp.pad(width[None, :], pad, constant_values=1),
+                interpret=self._dp_interpret)
+            final_row = final_t[:, :P].T                     # (P, BAND)
+            def get_dir(i, d):
+                return dirs_t[i, jnp.clip(d, 0, BAND - 1), jnp.arange(P)]
+        else:
+            init_final = jnp.where((qlen == 0)[:, None], row0,
+                                   jnp.full((P, BAND), NEG))
+            (_, final_row), dirs = jax.lax.scan(
+                step, (row0, init_final), jnp.arange(1, Q + 1))
+            dirs = jnp.concatenate(
+                [jnp.zeros((1, P, BAND), jnp.uint8), dirs])  # row 0 all stop
+            def get_dir(i, d):
+                return dirs[i, jnp.arange(P), jnp.clip(d, 0, BAND - 1)]
 
         score = final_row.max(axis=1)
         # smallest j among co-optimal ends
@@ -160,7 +271,7 @@ class BandedAligner:
 
         def tb_step(state, t):
             i, d, ops = state
-            cur = dirs[i, jnp.arange(P), jnp.clip(d, 0, BAND - 1)]
+            cur = get_dir(i, d)
             active = (i > 0)
             op = jnp.where(active, cur, 0).astype(jnp.uint8)
             ops = ops.at[:, t].set(op)
