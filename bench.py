@@ -204,8 +204,20 @@ def main():
     fine_gb = 4 * index.n_buckets * index.buckets_packed.shape[1] * 16 / (1 << 30)
     pair_batch = int(os.environ.get("BMTPU_BENCH_PAIR_BATCH",
                                     str(BATCH if fine_gb <= 8 else 1024)))
-    pipe = BucketMapPipeline(index, batch_size=BATCH, pair_batch=pair_batch, align=ALIGN,
-                             fetch_group=int(os.environ.get("BMTPU_FETCH_GROUP", "1")))
+    # the remote TPU frees a just-exited process's HBM asynchronously; a
+    # bench started seconds after another TPU job can transiently OOM at
+    # init (observed once) — one retry after a grace period covers it
+    for attempt in (1, 2):
+        try:
+            pipe = BucketMapPipeline(
+                index, batch_size=BATCH, pair_batch=pair_batch, align=ALIGN,
+                fetch_group=int(os.environ.get("BMTPU_FETCH_GROUP", "1")))
+            break
+        except Exception as e:
+            if attempt == 2 or "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            log(f"[bench] init OOM (transient?), retrying in 30s: {e}")
+            time.sleep(30)
     # warmup: compile all jit programs on a small prefix. With a hot
     # persistent cache this is seconds; a cold cache pays full XLA
     # compile once and the next run hits.
