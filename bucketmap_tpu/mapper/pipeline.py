@@ -549,27 +549,57 @@ class BucketMapPipeline:
             rec_cigar = None
         else:
             # align mode: every location goes through the banded aligner;
-            # tracebacks are RLE'd to CIGAR bytes per sub-batch (native C)
-            if len(lr):
-                lri = lr.astype(np.int32)
-                scores, begins, cbuf, coffs = self.aligner.align_batch_cigars(
-                    batch.codes[lri], batch.lengths[lri],
-                    lbk.astype(np.int32), loff.astype(np.int32), ~lorig)
-            else:
-                scores = begins = np.zeros(0, np.int32)
-                cbuf, coffs = b"", np.zeros(1, np.int64)
+            # tracebacks are RLE'd to CIGAR bytes per sub-batch (native
+            # C) and records stream to a writer thread as sub-batches
+            # land — SAM formatting/IO overlaps the next DP dispatch.
+            # Location chunks are read-sorted and sub-batches contiguous,
+            # so in-order emission preserves read order.
+            self._align_stream_emit(writer, batch, lr, lbk, loff, lorig,
+                                    qt, stats)
+            return
+        stats.mapped_locations += len(rec_read)
+        self._emit_records(writer, batch, rec_read, rec_flag, rec_bucket,
+                           rec_pos0, rec_mapq, rec_cigar)
+
+    def _align_stream_emit(self, writer, batch, lr, lbk, loff, lorig, qt,
+                           stats):
+        import queue
+        import threading
+
+        bucket_sam_off = self._bucket_sam_offset
+        if not len(lr):
+            return
+        wq: queue.Queue = queue.Queue(maxsize=4)
+        werr: list[BaseException] = []
+
+        def _writer_loop():
+            while True:
+                job = wq.get()
+                if job is None:
+                    return
+                try:
+                    self._emit_records(writer, batch, *job)
+                except BaseException as e:
+                    werr.append(e)
+                    return
+
+        thr = threading.Thread(target=_writer_loop, name="bmtpu-align-emit")
+        thr.start()
+
+        def emit(s, e, scores, begins, cbuf, coffs):
             # size_t wrap: scores below -60 bypass the threshold
             # (bucket_locator.h:571); seqan3 then truncates to uint8
             mapq = 60 + scores.astype(np.int64)
             mapq = np.where(mapq < 0, mapq & 0xFF, mapq)
             keep = np.where(scores < -60, True, mapq >= qt)
-            rec_read = lr[keep]
-            rec_bucket = lbk[keep]
-            rec_flag = np.where(lorig[keep], 0, 16).astype(np.int32)
-            rec_pos0 = bucket_sam_off[rec_bucket] + begins[keep] + loff[keep]
+            kidx = np.nonzero(keep)[0]
+            rec_read = lr[s:e][keep]
+            rec_bucket = lbk[s:e][keep]
+            rec_flag = np.where(lorig[s:e][keep], 0, 16).astype(np.int32)
+            rec_pos0 = (bucket_sam_off[rec_bucket] + begins[keep]
+                        + loff[s:e][keep])
             rec_mapq = mapq[keep].astype(np.int32)
             # gather the kept rows' CIGAR byte spans (vectorized)
-            kidx = np.nonzero(keep)[0]
             klens = coffs[kidx + 1] - coffs[kidx]
             koffs = np.zeros(len(kidx) + 1, np.int64)
             np.cumsum(klens, out=koffs[1:])
@@ -579,10 +609,22 @@ class BucketMapPipeline:
                 kbuf = np.frombuffer(cbuf, np.uint8)[src].tobytes()
             else:
                 kbuf = b""
-            rec_cigar = (kbuf, koffs)
-        stats.mapped_locations += len(rec_read)
-        self._emit_records(writer, batch, rec_read, rec_flag, rec_bucket,
-                           rec_pos0, rec_mapq, rec_cigar)
+            stats.mapped_locations += len(rec_read)
+            if werr:
+                raise werr[0]
+            wq.put((rec_read, rec_flag, rec_bucket, rec_pos0, rec_mapq,
+                    (kbuf, koffs)))
+
+        lri = lr.astype(np.int32)
+        try:
+            self.aligner.align_batch_stream(
+                batch.codes[lri], batch.lengths[lri],
+                lbk.astype(np.int32), loff.astype(np.int32), ~lorig, emit)
+        finally:
+            wq.put(None)
+            thr.join()
+        if werr:
+            raise werr[0]
 
     # ------------------------------------------------------------------
     def _emit_records(self, writer, batch, rec_read, rec_flag, rec_bucket,

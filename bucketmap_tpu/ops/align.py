@@ -354,27 +354,23 @@ class BandedAligner:
         self._run_batched(qcodes, qlen, bucket_ids, offsets, is_rc, consume)
         return out_s, out_b, out_ops
 
-    def align_batch_cigars(self, qcodes, qlen, bucket_ids, offsets, is_rc):
-        """Like align_batch but run-length-encodes each traceback into its
-        CIGAR as sub-batches arrive (native C when available), never
-        materializing the (n, max_ops) uint8 ops matrix — 568 MB at 1.5M
-        locations. Returns (score, begin, cigar_buf bytes, offsets)."""
+    def align_batch_stream(self, qcodes, qlen, bucket_ids, offsets, is_rc,
+                           emit):
+        """Streaming alignment: as each sub-batch lands, its tracebacks
+        are run-length-encoded to CIGAR bytes (native C when available)
+        and handed to `emit(s, e, scores, begins, cigar_buf, offs)` —
+        scores/begins/buf cover rows [s, e) only, offs is (e-s+1,). The
+        (n, max_ops) uint8 ops matrix (568 MB at 1.5M locations) never
+        exists."""
         from bucketmap_tpu.io import native
 
-        n = len(bucket_ids)
         q = qcodes.shape[1]
         max_ops = q + 2 * LO
         ow = -(-max_ops // 16)
-        out_s = np.zeros(n, np.int32)
-        out_b = np.zeros(n, np.int32)
-        bufs: list[bytes] = []
-        lens = np.zeros(n, np.int64)
         use_native = native.available()
         shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
 
         def consume(s, e, sc, bg, pk):
-            out_s[s:e] = sc
-            out_b[s:e] = bg
             res = native.cigar_rle(pk, max_ops) if use_native else None
             if res is not None:
                 buf, offs = res
@@ -388,10 +384,26 @@ class BandedAligner:
                     parts.append(b"" if c == "*" else c.encode())
                     offs[i + 1] = offs[i] + len(parts[-1])
                 buf = b"".join(parts)
+            emit(s, e, sc, bg, buf, offs)
+
+        self._run_batched(qcodes, qlen, bucket_ids, offsets, is_rc, consume)
+
+    def align_batch_cigars(self, qcodes, qlen, bucket_ids, offsets, is_rc):
+        """Collected variant of align_batch_stream: returns
+        (score, begin, cigar_buf bytes, offsets (n+1,))."""
+        n = len(bucket_ids)
+        out_s = np.zeros(n, np.int32)
+        out_b = np.zeros(n, np.int32)
+        bufs: list[bytes] = []
+        lens = np.zeros(n, np.int64)
+
+        def emit(s, e, sc, bg, buf, offs):
+            out_s[s:e] = sc
+            out_b[s:e] = bg
             bufs.append(buf)
             lens[s:e] = np.diff(offs)
 
-        self._run_batched(qcodes, qlen, bucket_ids, offsets, is_rc, consume)
+        self.align_batch_stream(qcodes, qlen, bucket_ids, offsets, is_rc, emit)
         offsets_out = np.zeros(n + 1, np.int64)
         np.cumsum(lens, out=offsets_out[1:])
         return out_s, out_b, b"".join(bufs), offsets_out
