@@ -573,15 +573,22 @@ class BucketMapPipeline:
         werr: list[BaseException] = []
 
         def _writer_loop():
+            # After a write failure the loop keeps DRAINING jobs (discarding
+            # them) until the sentinel: exiting here would leave the producer
+            # blocked forever in wq.put on the bounded queue (e.g. ENOSPC
+            # mid-run) instead of seeing werr and propagating the error.
+            failed = False
             while True:
                 job = wq.get()
                 if job is None:
                     return
+                if failed:
+                    continue
                 try:
                     self._emit_records(writer, batch, *job)
                 except BaseException as e:
                     werr.append(e)
-                    return
+                    failed = True
 
         thr = threading.Thread(target=_writer_loop, name="bmtpu-align-emit")
         thr.start()

@@ -8,6 +8,7 @@
 // ABI: plain C, ctypes-friendly. All sizes int64.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cstdio>
 
@@ -162,16 +163,19 @@ int64_t bmtpu_cigar_rle(int64_t n, int64_t ow, int64_t max_ops,
                         int64_t* out_offsets) {
     static const char op_char[4] = {'?', 'M', 'I', 'D'};
     int64_t w = 0;
-    unsigned char codes[4096];
-    if (max_ops > 4096) return -1;
+    // heap scratch: max_ops is Q + pad for long reads, no fixed cap
+    unsigned char* codes = (unsigned char*)malloc((size_t)max_ops);
+    if (codes == NULL) return -1;
     for (int64_t r = 0; r < n; r++) {
         out_offsets[r] = w;
         const uint32_t* row = packed + r * ow;
-        int64_t len = 0;  // nonzero prefix length
+        int64_t len = 0;  // nonzero codes, zeros skipped ANYWHERE in the
+        // row (not only as tail padding) to match the Python
+        // ops_to_cigar fallback on degenerate tracebacks that cross an
+        // invalid (dir=0) cell while i>0
         for (int64_t t = 0; t < max_ops; t++) {
             unsigned char c = (unsigned char)((row[t >> 4] >> (2 * (t & 15))) & 3);
-            if (c == 0) break;
-            codes[len++] = c;
+            if (c != 0) codes[len++] = c;
         }
         // reversed codes -> emit runs back-to-front
         int64_t t = len - 1;
@@ -179,12 +183,13 @@ int64_t bmtpu_cigar_rle(int64_t n, int64_t ow, int64_t max_ops,
             unsigned char c = codes[t];
             int64_t s = t;
             while (s > 0 && codes[s - 1] == c) s--;
-            if (w + 16 > cap) return -1;
+            if (w + 16 > cap) { free(codes); return -1; }
             w += sprintf(out_buf + w, "%lld%c", (long long)(t - s + 1),
                          op_char[c]);
             t = s - 1;
         }
     }
+    free(codes);
     out_offsets[n] = w;
     return w;
 }

@@ -120,3 +120,64 @@ def test_native_pack_reads_matches_numpy():
         a = pack_reads(codes, quals, lengths, k, mq)
         b = native.pack_reads(codes, quals, lengths, k, mq)
         assert a.shape == b.shape and (a == b).all()
+
+def _pack_ops(ops: np.ndarray) -> np.ndarray:
+    """uint8 op codes -> (n, ow) uint32 rows, 16 codes/word LSB-first
+    (the banded-DP traceback download layout, ops/align.py)."""
+    n, m = ops.shape
+    ow = -(-m // 16)
+    padded = np.zeros((n, ow * 16), np.uint32)
+    padded[:, :m] = ops
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+    return (padded.reshape(n, ow, 16) << shifts).sum(axis=2).astype(np.uint32)
+
+
+def test_native_cigar_rle_matches_python():
+    """native.cigar_rle must agree with ops_to_cigar even when zero op
+    codes appear MID-row (degenerate tracebacks crossing a dir=0 cell,
+    kept because scores < -60 bypass the threshold) — the Python twin
+    filters zeros anywhere, so the native path must too (ADVICE r3)."""
+    import pytest
+
+    from bucketmap_tpu.io import native
+    from bucketmap_tpu.ops.align import ops_to_cigar
+
+    if not native.available():
+        pytest.skip("native IO library unavailable")
+    rng = np.random.default_rng(11)
+    max_ops = 40
+    rows = []
+    # random rows; force mid-row zeros into half of them
+    for i in range(64):
+        r = rng.integers(0, 4, max_ops).astype(np.uint8)
+        if i % 2:
+            z = rng.integers(0, max_ops, 5)
+            r[z] = 0
+        rows.append(r)
+    rows.append(np.zeros(max_ops, np.uint8))        # all-pad row -> '*'
+    ops = np.stack(rows)
+    buf, offs = native.cigar_rle(_pack_ops(ops), max_ops)
+    for i in range(len(ops)):
+        got = buf[offs[i]:offs[i + 1]].decode() or "*"
+        assert got == ops_to_cigar(ops[i]), f"row {i}"
+
+
+def test_native_cigar_rle_long_reads():
+    """Reads longer than ~4 kb (max_ops > 4096) must still RLE natively
+    — the round-3 fixed stack buffer raised instead (ADVICE r3)."""
+    import pytest
+
+    from bucketmap_tpu.io import native
+    from bucketmap_tpu.ops.align import ops_to_cigar
+
+    if not native.available():
+        pytest.skip("native IO library unavailable")
+    rng = np.random.default_rng(13)
+    max_ops = 8200  # ~8 kb ONT read + band pad
+    ops = rng.integers(0, 4, (3, max_ops)).astype(np.uint8)
+    res = native.cigar_rle(_pack_ops(ops), max_ops)
+    assert res is not None
+    buf, offs = res
+    for i in range(len(ops)):
+        got = buf[offs[i]:offs[i + 1]].decode() or "*"
+        assert got == ops_to_cigar(ops[i]), f"row {i}"

@@ -259,3 +259,59 @@ def test_vectorized_pair_merge_matches_literal(tmp_path):
         outs.append(w.rows)
     assert outs[0] == outs[1]
     assert len(outs[0]) > 0
+
+def test_align_stream_emit_writer_failure_propagates():
+    """A write failure (e.g. ENOSPC) mid-stream must propagate, not
+    deadlock: the bounded emit queue's writer thread drains remaining
+    jobs after an exception so the producer's put never blocks
+    (ADVICE r3, pipeline.py:_align_stream_emit)."""
+    import threading
+    import types
+
+    n = 64  # >> queue maxsize (4) so a dead consumer would deadlock
+    lr = np.arange(n, dtype=np.int64)
+    lbk = np.zeros(n, np.int64)
+    loff = np.zeros(n, np.int64)
+    lorig = np.ones(n, bool)
+
+    class FakeAligner:
+        def align_batch_stream(self, qcodes, qlen, bucket_ids, offsets,
+                               is_rc, emit):
+            # many tiny sub-batches, each one emit() -> one queue put
+            for s in range(len(bucket_ids)):
+                sc = np.zeros(1, np.int32)
+                bg = np.zeros(1, np.int32)
+                emit(s, s + 1, sc, bg, b"", np.zeros(2, np.int64))
+
+    class FakeBatch:
+        codes = np.zeros((n, 8), np.uint8)
+        lengths = np.full(n, 8, np.int64)
+
+    calls = []
+
+    def failing_emit_records(self, writer, batch, *rec):
+        calls.append(1)
+        raise OSError(28, "No space left on device")
+
+    fake = types.SimpleNamespace(
+        _bucket_sam_offset=np.zeros(4, np.int64),
+        aligner=FakeAligner())
+    fake._emit_records = types.MethodType(failing_emit_records, fake)
+
+    stats = types.SimpleNamespace(mapped_locations=0)
+    result = {}
+
+    def run():
+        try:
+            BucketMapPipeline._align_stream_emit(
+                fake, None, FakeBatch(), lr, lbk, loff, lorig, 0, stats)
+            result["raised"] = None
+        except OSError as e:
+            result["raised"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "deadlocked: producer blocked on dead writer"
+    assert isinstance(result.get("raised"), OSError)
+    assert len(calls) == 1  # writer stopped writing after the failure
