@@ -5,7 +5,8 @@ import pytest
 
 from bucketmap_tpu.config import MapperConfig
 from bucketmap_tpu.sim.simulator import ShortReadSimulator, random_genome
-from research.classifiers import KMerExistence, KMerFrequency, MarkovChain
+from research.classifiers import (GappedKMerFrequency, KMerExistence,
+                                  KMerFrequency, MarkovChain)
 
 CFG = MapperConfig(bucket_len=4096, read_len=150)
 
@@ -34,6 +35,31 @@ def test_classifier_accuracy(world, cls, k):
     correct = sum(1 for codes, bucket in reads if model.query(codes) == bucket)
     # prototypes: expect strong but not perfect bucket classification
     assert correct >= 0.8 * len(reads), f"{correct}/{len(reads)}"
+
+
+def test_gapped_kmer_frequency(world):
+    """GappedKMerFrequency (kmer_frequency.py:162-256): gapped-seed
+    variant classifies buckets accurately, degenerates to the ungapped
+    model when the shape is contiguous, and rejects malformed shapes."""
+    genome, reads = world
+    model = GappedKMerFrequency(CFG, k=7, gap=5, seed=3)
+    assert model.span > 7  # a real gapped shape was drawn
+    model.read(genome)
+    assert model.n_buckets > 5
+    correct = sum(1 for codes, bucket in reads if model.query(codes) == bucket)
+    assert correct >= 0.8 * len(reads), f"{correct}/{len(reads)}"
+
+    # contiguous shape == ungapped model, bit for bit
+    flat = GappedKMerFrequency(CFG, k=7, shape=list(range(7)))
+    flat.read(genome)
+    ungapped = KMerFrequency(CFG, k=7)
+    ungapped.read(genome)
+    np.testing.assert_array_equal(flat.matrix, ungapped.matrix)
+
+    with pytest.raises(ValueError):
+        GappedKMerFrequency(CFG, k=7, shape=[0, 1, 1, 2, 3, 4, 5])
+    with pytest.raises(ValueError):
+        GappedKMerFrequency(CFG, k=7, shape=[0, 1, 2])
 
 
 # ---------------------------------------------------------------------------
