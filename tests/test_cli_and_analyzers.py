@@ -78,3 +78,91 @@ def test_best_alignment_pseudo_truth(workdir):
     an.read_best_alignment_file(d / "out.sam")
     res = an.benchmark(d / "out.sam", quiet=True)
     assert res.precision_pct == 100.0
+
+def test_dwgsim_read_name_truth(tmp_path):
+    """Real-format dwgsim fixture: ground truth encoded in read names as
+    <ref>_<pos>_<pos2>_<strand>_<strand2>_<rand>_<rand2>_<edits>:... with
+    a one-underscore reference name (sam_file_analyzer.cpp:199-231)."""
+    from bucketmap_tpu.bench.sam_analyzer import SamAnalyzer
+
+    d = tmp_path
+    (d / "ref.fasta").write_text(
+        ">NC_000001.1 synthetic chr A\nACGTACGTACGT\n"
+        ">NC_000002.1 synthetic chr B\nTTTTACGTACGT\n")
+    reads = [
+        # (name, expected: ref_idx, offset, rc, random)
+        ("NC_000001.1_100_300_0_1_0_0_1:0:0_2:0:0_abc/1", 0, 100, False, False),
+        ("NC_000002.1_55_200_1_0_0_0_0:0:0_0:0:0_def/1", 1, 55, True, False),
+        ("NC_000001.1_7_9_0_0_1_1_0:0:0_0:0:0_ghi/2", 0, 7, False, True),
+    ]
+    with open(d / "r.fastq", "w") as f:
+        for name, *_ in reads:
+            f.write(f"@{name}\nACGTACGT\n+\nEEEEEEEE\n")
+
+    an = SamAnalyzer(error_tolerance=5)
+    an.read_fasta_file(d / "ref.fasta")
+    an.read_sequence_file(d / "r.fastq", is_dwgsim=True)
+    assert [a[0].sequence_id for a in an.answer] == [0, 1, 0]
+    assert [a[0].offset for a in an.answer] == [100, 55, 7]
+    assert [a[0].reverse_complement for a in an.answer] == [False, True, False]
+    assert an.is_random_read == [False, False, True]
+
+    # SAM: read0 correct (within tol, strand/ref match), read1 wrong
+    # strand, read2 (random) mapped -> false positive
+    with open(d / "out.sam", "w") as f:
+        f.write("@SQ\tSN:NC_000001.1\tLN:12\n@SQ\tSN:NC_000002.1\tLN:12\n")
+        f.write(f"{reads[0][0]}\t0\tNC_000001.1\t104\t60\t8M\t*\t0\t0\t"
+                "ACGTACGT\tEEEEEEEE\n")       # pos0=103, |103-100|<=5 OK
+        f.write(f"{reads[1][0]}\t0\tNC_000002.1\t56\t60\t8M\t*\t0\t0\t"
+                "ACGTACGT\tEEEEEEEE\n")       # fwd but truth is rc -> wrong
+        f.write(f"{reads[2][0]}\t16\tNC_000001.1\t8\t60\t8M\t*\t0\t0\t"
+                "ACGTACGT\tEEEEEEEE\n")       # random read mapped -> FP
+    res = an.benchmark(d / "out.sam", quiet=True)
+    assert res.total_reads == 3 and res.random_reads == 1
+    assert res.mapped_reads == 3
+    assert res.correctly_mapped == 1
+    assert res.mapped_random_reads == 1 and res.false_positive_pct == 100.0
+    assert res.acceptable_locations == 1
+
+
+def test_pbsim3_maf_truth(tmp_path):
+    """Real-format pbsim3 .maf fixture: 15-token a/s/s record groups,
+    read names S<ref#>_<read#> (sam_file_analyzer.cpp:151-177)."""
+    from bucketmap_tpu.bench.sam_analyzer import SamAnalyzer
+
+    d = tmp_path
+    with open(d / "r.fastq", "w") as f:
+        for name in ("S1_1", "S1_2", "S2_1"):
+            f.write(f"@{name}\nACGTACGTACGT\n+\nEEEEEEEEEEEE\n")
+    # pbsim3 maf: per read one 'a' line + ref 's' line + read 's' line
+    (d / "truth.maf").write_text(
+        "a\n"
+        "s ref1 4000 12 + 4641652 ACGTACGTACGT\n"
+        "s S1_1 0 12 + 12 ACGTACGTACGT\n"
+        "a\n"
+        "s ref1 9000 12 + 4641652 ACGTACGTACGT\n"
+        "s S1_2 0 12 - 12 ACGTACGTACGT\n"
+        "a\n"
+        "s ref2 77 12 + 999999 ACGTACGTACGT\n"
+        "s S2_1 0 12 + 12 ACGTACGTACGT\n")
+
+    an = SamAnalyzer(error_tolerance=5)
+    an.read_sequence_file(d / "r.fastq")
+    an.read_ground_truth_file(d / "truth.maf")
+    assert [a[0].offset for a in an.answer] == [4000, 9000, 77]
+    assert [a[0].sequence_id for a in an.answer] == [0, 0, 1]
+    assert [a[0].reverse_complement for a in an.answer] == [False, True, False]
+
+    with open(d / "out.sam", "w") as f:
+        f.write("@SQ\tSN:chr1\tLN:4641652\n@SQ\tSN:chr2\tLN:999999\n")
+        f.write("S1_1\t0\tchr1\t4003\t60\t12M\t*\t0\t0\t"
+                "ACGTACGTACGT\tEEEEEEEEEEEE\n")   # pos0=4002, within 5
+        f.write("S1_2\t16\tchr1\t9001\t60\t12M\t*\t0\t0\t"
+                "ACGTACGTACGT\tEEEEEEEEEEEE\n")   # rc matches, pos0=9000
+        f.write("S2_1\t0\tchr2\t200\t60\t12M\t*\t0\t0\t"
+                "ACGTACGTACGT\tEEEEEEEEEEEE\n")   # off by 122 -> wrong
+    res = an.benchmark(d / "out.sam", quiet=True)
+    assert res.total_reads == 3 and res.mapped_reads == 3
+    assert res.correctly_mapped == 2
+    assert res.acceptable_locations == 2
+    assert res.uniquely_mapped_truth == 3
