@@ -242,6 +242,9 @@ def main():
     gt_path = os.path.join(CACHE, f"reads_{tag}.position_ground_truth")
     t0 = time.time()
     mapped_pct, correct_pct = score_sam(sam_path, gt_path, index)
+    # the reference analyzer's default tolerance is +-5
+    # (sam_file_analyzer.cpp:60); report it alongside the +-10 headline
+    _, correct_tol5 = score_sam(sam_path, gt_path, index, tol=5)
     extra = {}
     if LONG:
         # +-10 is the short-read convention (sam_file_analyzer.cpp default);
@@ -268,6 +271,12 @@ def main():
                 + f", {'align' if ALIGN else 'align-free'}")
         vsb = rps / (BASELINE_READS_PER_SEC_ALIGN if ALIGN
                      else BASELINE_READS_PER_SEC_NOALIGN)
+    from bucketmap_tpu.utils.debug import resource_report
+    rsrc = resource_report()
+    hbm_peak = rsrc["device_hbm_peak_bytes"]
+    log(f"[bench] peak host RSS {rsrc['peak_host_rss_kb']/1048576:.2f} GB, "
+        f"device HBM peak "
+        f"{'unavailable' if hbm_peak is None else f'{hbm_peak/2**30:.2f} GB'}")
     print(json.dumps({
         "metric": f"reads_per_sec_per_chip ({desc})",
         "value": round(rps, 1),
@@ -275,8 +284,11 @@ def main():
         "vs_baseline": round(vsb, 3),
         "pct_mapped": round(mapped_pct, 2),
         "pct_correct_position": round(correct_pct, 2),
+        "pct_correct_position_tol5": round(correct_tol5, 2),
         "locations_per_read": round(stats.mapped_locations / stats.num_reads, 4),
         "warmup_seconds": round(warmup_s, 1),
+        "peak_host_rss_kb": rsrc["peak_host_rss_kb"],
+        "device_hbm_peak_bytes": hbm_peak,
         "io_native": io_native,
         **extra,
     }))

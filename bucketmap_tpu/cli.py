@@ -134,6 +134,9 @@ def main(argv=None) -> int:
                                             overwrite=args.force)
         print(f"[BENCHMARK]\tElapsed time for creating and storing index files: "
               f"{time.time()-t0:.2f} s ({index.n_buckets} buckets).")
+        from bucketmap_tpu.utils.debug import resource_report
+        print(f"[BENCHMARK]\tMaximum resident set size: "
+              f"{resource_report()['peak_host_rss_kb']} KB.")
         return 0
 
     if args.cmd == "map":
@@ -164,6 +167,13 @@ def main(argv=None) -> int:
               f"({100.0*stats.reads_with_candidates/max(1,stats.num_reads):.2f}%).")
         print(f"[BENCHMARK]\tTotal mapped locations: {stats.mapped_locations} "
               f"({stats.mapped_locations/max(1,stats.num_reads):.3f} per sequence).")
+        from bucketmap_tpu.utils.debug import resource_report
+        rsrc = resource_report()
+        hbm = rsrc["device_hbm_peak_bytes"]
+        print(f"[BENCHMARK]\tMaximum resident set size: "
+              f"{rsrc['peak_host_rss_kb']} KB"
+              + (f"; device HBM peak: {hbm} bytes." if hbm is not None
+                 else "."))
         return 0
 
     if args.cmd == "simulate":

@@ -49,6 +49,34 @@ def validation_mode(disable_jit: bool = True):
             yield
 
 
+def resource_report() -> dict:
+    """Peak host RSS + device HBM watermark, mirroring the reference
+    harness's `/usr/bin/time -v` discipline (benchmark/README.md:89-130:
+    every run records wall + maximum resident set size).
+
+    Returns {"peak_host_rss_kb": int,
+             "device_hbm_peak_bytes": int | None,
+             "device_hbm_limit_bytes": int | None} — the HBM fields are
+    None when the backend doesn't expose memory_stats (CPU; the remote
+    'axon' tunnel returns None).
+    """
+    import resource
+
+    out = {"peak_host_rss_kb": int(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss),
+        "device_hbm_peak_bytes": None, "device_hbm_limit_bytes": None}
+    try:
+        import jax
+
+        ms = jax.local_devices()[0].memory_stats()
+        if ms:
+            out["device_hbm_peak_bytes"] = ms.get("peak_bytes_in_use")
+            out["device_hbm_limit_bytes"] = ms.get("bytes_limit")
+    except Exception:
+        pass
+    return out
+
+
 def checked(fn, *, errors=None):
     """checkify-wrap fn: returns (error, result); call error.throw() to
     raise on failures. Adds index OOB + float checks by default."""

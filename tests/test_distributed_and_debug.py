@@ -54,3 +54,16 @@ def test_validation_mode_and_checked():
     assert err.get() is None
     err, _ = checked(jax.jit(f))(jnp.int32(17))
     assert err.get() is not None and "out-of-bounds" in err.get()
+
+def test_resource_report():
+    """resource_report mirrors /usr/bin/time -v's peak-RSS discipline
+    (benchmark/README.md:89-130): host RSS always present, HBM fields
+    None when the backend doesn't expose memory_stats."""
+    from bucketmap_tpu.utils.debug import resource_report
+
+    r = resource_report()
+    assert r["peak_host_rss_kb"] > 1000  # a python process is >1 MB
+    assert set(r) == {"peak_host_rss_kb", "device_hbm_peak_bytes",
+                      "device_hbm_limit_bytes"}
+    hbm = r["device_hbm_peak_bytes"]
+    assert hbm is None or hbm > 0
