@@ -30,9 +30,11 @@ def _load():
             return _lib
         _tried = True
         try:
-            src = os.path.join(_CSRC, "bmtpu_io.cpp")
+            srcs = [os.path.join(_CSRC, "bmtpu_io.cpp"),
+                    os.path.join(_CSRC, "bmtpu_index.cpp")]
             stale = (not os.path.exists(_SO)
-                     or os.path.getmtime(_SO) < os.path.getmtime(src))
+                     or any(os.path.getmtime(_SO) < os.path.getmtime(s)
+                            for s in srcs))
             if stale:
                 # always (re)build from source on this host — a stale or
                 # foreign-toolchain binary must never be silently trusted
@@ -66,6 +68,13 @@ def _load():
                 i32p, i32p, i64p, np.ctypeslib.ndpointer(np.uint8),
                 i64p, i32p, i64p, np.ctypeslib.ndpointer(np.uint8),
                 i32p, i32p, u8p, u8p, i64, np.ctypeslib.ndpointer(np.uint8), i64]
+            u32p = np.ctypeslib.ndpointer(np.uint32)
+            lib.bmtpu_build_occupancy.restype = i64
+            lib.bmtpu_build_occupancy.argtypes = [
+                u8p, i64, i64, i64, i64, i32p, u32p, i64, i64, u32p, i64]
+            lib.bmtpu_build_fine.restype = i64
+            lib.bmtpu_build_fine.argtypes = [
+                u32p, i64, i64, i32p, i64, i64, u32p, i32p, i64]
             _lib = lib
         except Exception:
             _lib = None
@@ -174,3 +183,33 @@ def format_sam_records(qid, id_offsets, ids_buf, flag, rid, rname_offsets,
     if w < 0:
         raise RuntimeError("SAM output buffer overflow")
     return out[:w].tobytes()
+
+
+def build_occupancy(codes, total, q, bucket_len, read_len, ktr, qg, b0, bp):
+    """Native occupancy scatter + bucket packing for one FASTA record
+    (csrc/bmtpu_index.cpp). Mutates qg/bp in place; returns the bucket
+    count emitted, or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.bmtpu_build_occupancy(
+        np.ascontiguousarray(codes, np.uint8), total, q, bucket_len,
+        read_len, np.ascontiguousarray(ktr, np.int32), qg, qg.shape[1],
+        b0, bp, bp.shape[1]))
+
+
+def build_fine(bp, lengths, k, low_bits, fine_packed, ptab):
+    """Native LSD-radix fine-index build (csrc/bmtpu_index.cpp).
+    Fills fine_packed/ptab in place; returns max segment length, or None
+    when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, lpos = fine_packed.shape
+    r = int(lib.bmtpu_build_fine(
+        np.ascontiguousarray(bp, np.uint32), n, bp.shape[1],
+        np.ascontiguousarray(lengths, np.int32), k, low_bits,
+        fine_packed, ptab, lpos))
+    if r < 0:
+        raise RuntimeError("bmtpu_build_fine: bad arguments")
+    return r

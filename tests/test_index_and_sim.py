@@ -151,3 +151,37 @@ def test_simulator_errorfree_reads_match_genome(tmp_path):
             codes = revcomp_codes(codes)
         np.testing.assert_array_equal(codes, truth)
         assert cigar == f"{len(truth)}="
+
+def test_native_index_build_matches_numpy(monkeypatch):
+    """csrc/bmtpu_index.cpp (threaded rolling-hash occupancy scatter +
+    LSD-radix fine build) is bit-identical to the numpy builder on a
+    genome with uneven record lengths (residual-drop + tail words)."""
+    import pytest
+
+    from bucketmap_tpu.io import native
+    from bucketmap_tpu.sim.simulator import repeat_genome
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    cfg = MapperConfig(bucket_len=65536, read_len=300)
+    genome = repeat_genome(3_000_000, seed=3, n_refs=3)
+    # uneven tails: one record mid-bucket, one ending exactly at a
+    # residual <= read_len (dropped bucket)
+    genome[1].codes = genome[1].codes[: len(genome[1].codes) - 65536 + 123]
+    genome[2].codes = genome[2].codes[: (len(genome[2].codes) // 65536) * 65536 + 200]
+
+    monkeypatch.setenv("BMTPU_HOST_BUILD_NATIVE", "0")
+    a = builder.build_index(genome, cfg)
+    builder.build_fine_index(a)
+    monkeypatch.setenv("BMTPU_HOST_BUILD_NATIVE", "1")
+    b = builder.build_index(genome, cfg)
+    builder.build_fine_index(b)
+
+    assert a.n_buckets == b.n_buckets
+    np.testing.assert_array_equal(a.qgram_words, b.qgram_words)
+    np.testing.assert_array_equal(a.buckets_packed, b.buckets_packed)
+    np.testing.assert_array_equal(a.zeros, b.zeros)
+    np.testing.assert_array_equal(a.fine_packed, b.fine_packed)
+    np.testing.assert_array_equal(a.fine_ptab, b.fine_ptab)
+    assert a.fine_search_steps == b.fine_search_steps
+    assert a.fine_low_bits == b.fine_low_bits
