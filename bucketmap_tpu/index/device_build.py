@@ -34,8 +34,8 @@ from bucketmap_tpu.index.builder import BucketIndex
 from bucketmap_tpu.ops.encoding import kmer_hashes, unpack_2bit
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _build_chunk(packed_rows, lengths_rows, k: int, lb: int, low_bits: int):
+def _build_chunk_impl(packed_rows, lengths_rows, k: int, lb: int,
+                      low_bits: int):
     """One row-chunk of the device fine-index build.
 
     packed_rows: (R, Wb) uint32 2-bit bucket sequences; lengths_rows (R,).
@@ -64,6 +64,9 @@ def _build_chunk(packed_rows, lengths_rows, k: int, lb: int, low_bits: int):
         lambda row: jnp.searchsorted(row, pvals, side="left"))(prefix)
     max_seg = jnp.diff(ptab, axis=1).max()
     return fine_packed, ptab.astype(jnp.int32), max_seg
+
+
+_build_chunk = jax.jit(_build_chunk_impl, static_argnums=(2, 3, 4))
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -113,4 +116,56 @@ def build_fine_index_on_device(index: BucketIndex, row_chunk: int = 2048):
         fp, pt = _write_chunk(fp, pt, fpc, ptc, s)
         max_seg = max(max_seg, int(ms))
     steps = int(max(1, max_seg)).bit_length()
+    return fp, pt, steps, low_bits
+
+
+def build_fine_index_on_device_sharded(bp, lengths, cfg, mesh,
+                                       bucket_axis: str,
+                                       row_chunk: int = 2048):
+    """Sharded variant: each device builds the fine rows of ITS bucket
+    range from its local buckets_packed shard — no host fine tables, no
+    cross-device traffic, and per-shard HBM is 1/Db of the full table
+    (the GRCh38 fine index only exists sharded, PERF.md §3).
+
+    bp: (Npad, Wb) uint32, sharded P(bucket, None); lengths: (Npad,)
+    int32, sharded P(bucket). Padded rows (length 0) come out all-invalid
+    (slots 0xFFFFFFFF, ptab all-zero), matching the host padding fills.
+    Returns (fine_packed, fine_ptab — both sharded like bp —
+    search_steps int, low_bits int), or None when the packed encoding
+    doesn't apply.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    k = cfg.query_seed
+    if k >= 16:
+        return None
+    wb = bp.shape[1]
+    lb = wb * 16
+    lpos = lb - k + 1
+    low_bits = 2 * k - 12
+    if not (0 <= low_bits <= 16) or lpos > (1 << (32 - low_bits)):
+        return None
+    npad = bp.shape[0]
+    Db = mesh.shape[bucket_axis]
+    nl = npad // Db
+    cr = min(row_chunk, nl)
+    while nl % cr:
+        cr -= 1
+
+    def body(bp_l, lens_l):
+        def f(args):
+            return _build_chunk_impl(args[0], args[1], k, lb, low_bits)
+
+        fp, pt, ms = jax.lax.map(
+            f, (bp_l.reshape(-1, cr, wb), lens_l.reshape(-1, cr)))
+        return (fp.reshape(-1, lpos), pt.reshape(-1, 4097),
+                ms.max().reshape(1))
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(bucket_axis, None), P(bucket_axis)),
+        out_specs=(P(bucket_axis, None), P(bucket_axis, None),
+                   P(bucket_axis))))
+    fp, pt, ms = fn(bp, lengths)
+    steps = int(max(1, int(np.asarray(ms).max()))).bit_length()
     return fp, pt, steps, low_bits

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bucketmap_tpu.index.builder import BucketIndex
-from bucketmap_tpu.ops.coarse import CoarseMapper
+from bucketmap_tpu.ops.coarse import CoarseMapper, _coarse_score_pallas
 from bucketmap_tpu.ops.encoding import pack_reads, unpack_reads
 from bucketmap_tpu.ops.vote import FineLocator
 
@@ -161,11 +161,25 @@ class DeviceMapper:
 
         ns = lambda *spec: NamedSharding(mesh, P(*spec))
         idx = self.index
-        # pad the word axis to Db columns and every bucket table to the
-        # matching 32*w_pad rows so each shard owns an aligned range
+        # Shard geometry. Every bucket table (fine_pos/fine_ptab/
+        # buckets_packed/...) shards by REAL word range: wr words -> 32*wr
+        # bucket rows per shard; candidate ownership uses the same ranges.
+        # The occupancy matrix alone may carry extra LOCAL padding: the
+        # fused Pallas coarse kernel DMAs whole occupancy-row slices,
+        # which must cover full (8, 128) uint32 tiles, so each shard's
+        # local width wl rounds up to a 1024-word multiple (padded
+        # columns are zero and sit past `bound`, so they can never
+        # produce candidates). Keeping the fine tables on the wr
+        # geometry is what stops the multi-GB fine index inflating ~5x
+        # under the kernel's tile alignment.
         w = idx.qgram_words.shape[1]
-        w_pad = -(-w // Db) * Db
-        self._n_pad_global = 32 * w_pad
+        wr = -(-w // Db)
+        if self.coarse._scan_mode == "pallas":
+            wl = max(1024, -(-wr // 1024) * 1024)
+        else:
+            wl = wr
+        self._npf = 32 * wr                  # bucket rows per shard
+        self._n_pad_global = 32 * wr * Db
         n = idx.n_buckets
 
         def padded(a, rows, fill):
@@ -176,9 +190,15 @@ class DeviceMapper:
             pad = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
             return np.pad(np.asarray(a), pad, constant_values=fill)
 
-        qw = np.asarray(idx.qgram_words)
-        if w_pad != w:
-            qw = np.pad(qw, ((0, 0), (0, w_pad - w)))
+        qw_real = np.asarray(idx.qgram_words)
+        # interleave: shard bi's local columns [0, wr) = real words
+        # [bi*wr, (bi+1)*wr), the rest zero-padding
+        qw = np.zeros((qw_real.shape[0], Db, wl), qw_real.dtype)
+        for bi_ in range(Db):
+            lo = min(bi_ * wr, w)
+            hi = min(lo + wr, w)
+            qw[:, bi_, : hi - lo] = qw_real[:, lo:hi]
+        qw = qw.reshape(qw_real.shape[0], Db * wl)
         npad = self._n_pad_global
         self.coarse.qgram_words = jax.device_put(qw, ns(None, ba))
         self.fine.bucket_lengths = jax.device_put(
@@ -199,6 +219,26 @@ class DeviceMapper:
                 padded(idx.fine_packed, npad, 0xFFFFFFFF), ns(ba, None))
         self._data_sharding2 = ns(da, None)
         self._data_sharding = ns(da)
+
+        # no host fine tables -> build them sharded ON the mesh (each
+        # device sorts its own bucket range; no upload, no cross-shard
+        # traffic), same flow as the single-device build but per shard
+        if (self._vote_path == "scan"
+                and os.environ.get("BMTPU_DEVICE_FINE", "auto") != "0"
+                and jax.default_backend() != "cpu"):
+            lb = idx.buckets_packed.shape[1] * 16
+            per_shard_gb = 4 * npad * lb / Db / (1 << 30)
+            max_gb = float(os.environ.get("BMTPU_DEVICE_FINE_MAX_GB", "8"))
+            if per_shard_gb <= max_gb:
+                from bucketmap_tpu.index.device_build import \
+                    build_fine_index_on_device_sharded
+                built = build_fine_index_on_device_sharded(
+                    self.fine.buckets_packed, self.fine.bucket_lengths,
+                    self.cfg, mesh, ba)
+                if built is not None:
+                    (self.fine.fine_packed, self.fine.fine_ptab,
+                     self.fine.search_steps, self.fine.low_bits) = built
+                    self._vote_path = "packed"
 
         vote_specs = {
             "packed": (P(ba, None), P(ba, None)),
@@ -427,15 +467,39 @@ class DeviceMapper:
 
         codes, qual_ok, lengths = unpack_reads(
             packed_reads, self._padded_read_len, cfg.query_seed, xp=jnp)
-        presence, num_good, give_up = self.coarse._presence_impl(
-            qgram_words, kmer_to_row, dist_tab, c_sample_tab, codes, qual_ok,
-            lengths)
-        n_local = presence.shape[3] * 32
+        # ownership geometry: this shard owns bucket rows
+        # [bi*npf, (bi+1)*npf) — npf = 32*wr (real words), NOT the
+        # 1024-padded local width of the occupancy shard
+        n_local = self._npf
         col0 = bi * n_local
-
-        # candidate policy on GLOBAL per-read quantities (tiny collectives)
         bound = jnp.clip(jnp.int32(n) - col0, 0, n_local)
-        chunk_max, chunk_cnt, planes = self.coarse._chunk_scan(presence, bound)
+
+        wl = qgram_words.shape[1]
+        if self.coarse._scan_mode == "pallas" and wl % 1024 == 0:
+            # fused coarse kernel on the local occupancy shard: row DMA
+            # ring + AND + bit-plane counting + word reduction in one
+            # pallas_call, exactly as the single-chip path
+            # (ops/coarse.py:_query_impl) — presence never exists in HBM
+            both, num_good, give_up = self.coarse._sample_hashes_impl(
+                kmer_to_row, dist_tab, c_sample_tab, codes, qual_ok, lengths)
+            nq = cfg.qgrams_per_kmer
+            qbits = jnp.uint32(4**cfg.index_seed - 1)
+            shifts = 2 * jnp.arange(nq, dtype=jnp.uint32)
+            grams = (both[..., None] >> shifts) & qbits       # (B,2,s,nq)
+            rows_t = kmer_to_row[grams].reshape(-1, nq)
+            tab3 = qgram_words.reshape(qgram_words.shape[0], wl // 128, 128)
+            cm, cc, pls = _coarse_score_pallas(
+                tab3, rows_t, bound, cfg.mapper_samples,
+                interpret=self.coarse._scan_interpret)
+            chunk_max = cm.reshape(B, 2, wl)
+            chunk_cnt = cc.reshape(B, 2, wl)
+            planes = pls.reshape(B, 2, -1, wl)
+        else:
+            presence, num_good, give_up = self.coarse._presence_impl(
+                qgram_words, kmer_to_row, dist_tab, c_sample_tab, codes,
+                qual_ok, lengths)
+            chunk_max, chunk_cnt, planes = self.coarse._chunk_scan(
+                presence, bound)
         local_max = chunk_max.max(axis=2)                        # (B,2) i32
         gmax = jax.lax.pmax(local_max, self.bucket_axis)
         ok = (gmax >= cfg.min_coarse_hits) & ~give_up[:, None]

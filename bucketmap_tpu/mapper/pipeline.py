@@ -554,12 +554,203 @@ class BucketMapPipeline:
             # land — SAM formatting/IO overlaps the next DP dispatch.
             # Location chunks are read-sorted and sub-batches contiguous,
             # so in-order emission preserves read order.
-            self._align_stream_emit(writer, batch, lr, lbk, loff, lorig,
-                                    qt, stats)
+            # Long reads (> 2*read_len) route to the segment-stitched
+            # aligner: a 7.5 kb ONT read drifts far past the 128-diagonal
+            # band, so whole-read banded DP silently fails (its windows
+            # are the read_len segments, where the band holds).
+            long_mask = batch.lengths[lr] > 2 * self.cfg.read_len
+            if long_mask.any():
+                self._align_long_emit(
+                    writer, batch, lr[long_mask], lbk[long_mask],
+                    loff[long_mask], lorig[long_mask], _lso[long_mask],
+                    qt, stats)
+            if not long_mask.all():
+                sm = ~long_mask
+                self._align_stream_emit(writer, batch, lr[sm], lbk[sm],
+                                        loff[sm], lorig[sm], qt, stats)
             return
         stats.mapped_locations += len(rec_read)
         self._emit_records(writer, batch, rec_read, rec_flag, rec_bucket,
                            rec_pos0, rec_mapq, rec_cigar)
+
+    def _align_long_emit(self, writer, batch, lr, lbk, loff, lorig, lso,
+                         qt, stats):
+        """Segment-stitched alignment for long reads (> 2*read_len).
+
+        The whole-read banded DP cannot hold a multi-kb ONT read: net
+        indel drift walks off the 128-diagonal band and the voted begin
+        has O(indel_rate*len) error. Instead, every surviving SEGMENT
+        location (the 5 read_len windows of q_gram_mapper.h:510-516,
+        pre-merge) is aligned with the standard short-read kernel
+        against a window at ITS OWN voted offset — the band trivially
+        holds over 300 bases — and the host stitches:
+
+          * clusters segment locations per (read, bucket, strand) within
+            a read-length of each other (one cluster = one mapping),
+          * refines the read start from the boundary segment's DP begin
+            (segment 0 starts at read position 0, so its begin IS the
+            read begin; reverse-strand uses the max-offset segment and
+            TRUE forward-genome coordinates — the short-read rc window
+            quirk would shift POS by indel_rate*len ≈ 750 bases, far
+            past any tolerance, so it does not apply here),
+          * concatenates the verified segment CIGARs with gap filler
+            between anchors (min(g_r,g_t) M + |g_r-g_t| I/D), emitted in
+            reference order for reverse-strand records; query-consuming
+            ops always sum to the read length,
+          * MAPQ = clip(60 + 120 * sum(score)/sum(seg_len), 0, 60) — an
+            identity-margin score (6% ONT error -> ~45; an unrelated
+            locus scores < 0 -> 0 and is dropped by the quality gate).
+            The short-read path's size_t wrap stays untouched; it is a
+            reproduced reference quirk, meaningless at ONT error rates.
+
+        The reference has no observable long-read align behavior to
+        match: every committed bucketmap_align long-read run exited 255
+        (benchmark/long_read/log). This is new capability, designed
+        TPU-first (all DPs are fixed-shape read_len-row batches).
+        """
+        from bucketmap_tpu.ops.align import LO
+
+        cfg = self.cfg
+        rl = cfg.read_len
+        n = len(lr)
+        if n == 0:
+            return
+        lens = batch.lengths[lr].astype(np.int64)
+        so = lso.astype(np.int64)
+        sl = np.minimum(lens - so, rl).astype(np.int64)
+        off_j = np.where(lorig, loff + so,
+                         loff + (lens - so - sl)).astype(np.int64)
+        col = np.arange(rl)
+        mask = col[None, :] < sl[:, None]
+        src = np.where(mask, so[:, None] + col[None, :], 0)
+        qcodes = np.where(mask, batch.codes[lr[:, None], src], 0) \
+            .astype(np.uint8)
+
+        max_ops = rl + 2 * LO
+        ow16 = -(-max_ops // 16) * 16
+        shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+        sc = np.zeros(n, np.int64)
+        bg = np.zeros(n, np.int64)
+        nM = np.zeros(n, np.int64)
+        nI = np.zeros(n, np.int64)
+        nD = np.zeros(n, np.int64)
+        seg_runs: list = [None] * n
+
+        def consume(s, e, sc_, bg_, pk):
+            sc[s:e] = sc_
+            bg[s:e] = bg_
+            codes_ = ((pk[:, :, None] >> shifts) & 3).astype(np.uint8) \
+                .reshape(e - s, ow16)[:, :max_ops]
+            nM[s:e] = (codes_ == 1).sum(1)
+            nI[s:e] = (codes_ == 2).sum(1)
+            nD[s:e] = (codes_ == 3).sum(1)
+            for i in range(e - s):
+                row = codes_[i]
+                nz = row[row != 0][::-1]          # query-order op codes
+                if len(nz) == 0:
+                    seg_runs[s + i] = []
+                    continue
+                ch = np.nonzero(np.diff(nz))[0]
+                st = np.concatenate([[0], ch + 1])
+                en = np.concatenate([ch + 1, [len(nz)]])
+                seg_runs[s + i] = [(int(b - a), int(nz[a]))
+                                   for a, b in zip(st, en)]
+
+        self.aligner._run_batched(qcodes, sl.astype(np.int32),
+                                  lbk.astype(np.int32),
+                                  off_j.astype(np.int32), ~lorig, consume)
+
+        blen = np.asarray(self.index.bucket_lengths)[lbk]
+        width = np.minimum(sl + 1 + (cfg.indel_rate * sl).astype(np.int64),
+                           blen - off_j)
+        # stitching coordinate p: increases along the STORED read
+        # direction (forward: p = absolute; reverse: p = -absolute)
+        begin_p = np.where(lorig, off_j + bg,
+                           -(off_j + width - 1 - bg))
+        TL = nM + nD
+        seg_ok = (nM + nI) == sl                  # traceback spans the segment
+
+        # ---- cluster + stitch ------------------------------------------
+        rec_read, rec_flag, rec_bucket = [], [], []
+        rec_pos0, rec_mapq, rec_cigar = [], [], []
+        op_char = {1: b"M", 2: b"I", 3: b"D"}
+        gkeys = np.stack([lr, lbk, lorig.astype(np.int64)], axis=1)
+        bounds = np.nonzero(np.any(np.diff(gkeys, axis=0) != 0, axis=1))[0] + 1
+        bounds = np.concatenate([[0], bounds, [n]])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            grp = np.arange(a, b)[np.argsort(loff[a:b], kind="stable")]
+            rlen = int(lens[a])
+            # clusters: loff gaps beyond a read length start a new mapping
+            cl_start = 0
+            cuts = list(np.nonzero(np.diff(loff[grp]) > rlen)[0] + 1) + [len(grp)]
+            for cut in cuts:
+                members = grp[cl_start:cut]
+                cl_start = cut
+                members = members[np.argsort(so[members], kind="stable")]
+                # dedupe segment offsets (repeat loci in one cluster)
+                _, keep = np.unique(so[members], return_index=True)
+                members = members[np.sort(keep)]
+                valid = members[seg_ok[members]]
+                if len(valid) == 0:
+                    continue
+                cov = int(sl[valid].sum())
+                rate = float(sc[valid].sum()) / max(1, cov)
+                mapq = max(0, min(60, 60 + int(np.floor(120.0 * rate))))
+                if mapq < qt:
+                    continue
+                runs: list[tuple[int, int]] = []
+                first = valid[0]
+                pcur = int(begin_p[first] - so[first])
+                rcur = 0
+                for j in valid:
+                    g_r = int(so[j]) - rcur
+                    g_t = max(0, int(begin_p[j]) - pcur)
+                    m = min(g_r, g_t)
+                    if m:
+                        runs.append((m, 1))
+                    if g_r > g_t:
+                        runs.append((g_r - g_t, 2))
+                    elif g_t > g_r:
+                        runs.append((g_t - g_r, 3))
+                    runs.extend(seg_runs[j])
+                    rcur = int(so[j] + sl[j])
+                    pcur = int(begin_p[j] + TL[j])
+                tail = rlen - rcur
+                if tail > 0:
+                    runs.append((tail, 1))
+                    pcur += tail
+                is_fwd = bool(lorig[first])
+                if is_fwd:
+                    pos0 = int(begin_p[first] - so[first])
+                else:
+                    # leftmost forward-genome base = last stored-direction
+                    # position; reference-order CIGAR = reversed runs
+                    pos0 = -(pcur - 1)
+                    runs = runs[::-1]
+                # merge adjacent equal ops (filler meeting segment edges)
+                merged: list[tuple[int, int]] = []
+                for cnt, op in runs:
+                    if merged and merged[-1][1] == op:
+                        merged[-1] = (merged[-1][0] + cnt, op)
+                    else:
+                        merged.append((cnt, op))
+                rec_read.append(int(lr[first]))
+                rec_flag.append(0 if is_fwd else 16)
+                rec_bucket.append(int(lbk[first]))
+                rec_pos0.append(max(0, pos0))
+                rec_mapq.append(mapq)
+                rec_cigar.append(b"".join(
+                    str(c).encode() + op_char[o] for c, o in merged))
+
+        stats.mapped_locations += len(rec_read)
+        if rec_read:
+            bucket_sam_off = self._bucket_sam_offset
+            rb = np.asarray(rec_bucket, np.int64)
+            self._emit_records(
+                writer, batch, np.asarray(rec_read, np.int64),
+                np.asarray(rec_flag, np.int32), rb,
+                bucket_sam_off[rb] + np.asarray(rec_pos0, np.int64),
+                np.asarray(rec_mapq, np.int32), rec_cigar)
 
     def _align_stream_emit(self, writer, batch, lr, lbk, loff, lorig, qt,
                            stats):
@@ -623,9 +814,15 @@ class BucketMapPipeline:
                     (kbuf, koffs)))
 
         lri = lr.astype(np.int32)
+        # short-path reads are <= 2*read_len by definition; in a MIXED
+        # batch the code matrix is as wide as the longest (long) read —
+        # slice it down or the DP compiles Q = longest-read rows
+        qc = batch.codes[lri]
+        wmax = min(qc.shape[1], 2 * self.cfg.read_len)
+        qc = np.ascontiguousarray(qc[:, :wmax])
         try:
             self.aligner.align_batch_stream(
-                batch.codes[lri], batch.lengths[lri],
+                qc, batch.lengths[lri],
                 lbk.astype(np.int32), loff.astype(np.int32), ~lorig, emit)
         finally:
             wq.put(None)

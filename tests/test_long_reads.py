@@ -104,3 +104,51 @@ def test_long_read_segments_fold_back_exact():
                 exact += 1
                 break
     assert exact >= 18, f"only {exact}/20 exact error-free long-read starts"
+
+def test_long_read_align_mode(tmp_path):
+    """Segment-stitched align mode (pipeline._align_long_emit): refined
+    +-5 read starts on BOTH strands, full-length CIGARs, identity-margin
+    MAPQ in [0, 60] (no size_t-wrap flood — the round-3 whole-read
+    banded DP scored every ONT read below -60 and emitted garbage)."""
+    import re
+
+    cfg = _long_read_cfg()
+    genome = repeat_genome(600_000, seed=61, n_refs=2)
+    index = build_index(genome, cfg)
+    build_fine_index(index)
+    sim = LongReadSimulator(genome, mean_len=4000, sd_len=600, min_len=2500,
+                            substitution_rate=0.02, insertion_rate=0.02,
+                            deletion_rate=0.02, seed=62)
+    sim.generate(tmp_path, "ont", 50)
+    batch = read_fastq(tmp_path / "ont.fastq")
+    pipe = BucketMapPipeline(index, batch_size=256, pair_batch=256,
+                             align=True)
+    pipe.map_reads(batch, tmp_path / "out.sam")
+
+    gt = {}  # read index (= line number) -> (pos, rc)
+    with open(tmp_path / "ont.position_ground_truth") as f:
+        for i, line in enumerate(f):
+            _origin, b, c, _ = line.split(maxsplit=3)
+            gt[i] = (int(b), int(c) == 1)
+    n_rec = n_pos5 = n_strand_pos5 = 0
+    with open(tmp_path / "out.sam") as f:
+        for line in f:
+            if line[0] == "@":
+                continue
+            c = line.split("\t")
+            rid, flag, pos, mapq, cig, seq = (int(c[0]), int(c[1]),
+                                              int(c[3]), int(c[4]), c[5],
+                                              c[9])
+            n_rec += 1
+            assert 0 <= mapq <= 60, mapq     # no wrap values
+            consumed = sum(int(x) for x, op in
+                           re.findall(r"(\d+)([MIDNSHP=X])", cig)
+                           if op in "MIS=X")
+            assert consumed == len(seq), (consumed, len(seq))
+            tpos, trc = gt[rid]
+            if abs(pos - tpos) <= 5:
+                n_pos5 += 1
+                if ((flag & 16) == 16) == trc:
+                    n_strand_pos5 += 1
+    assert n_rec >= 45                         # nearly all reads mapped
+    assert n_strand_pos5 >= 0.85 * len(gt), (n_strand_pos5, len(gt))
