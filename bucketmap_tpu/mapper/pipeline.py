@@ -119,9 +119,21 @@ class BucketMapPipeline:
         if align:
             from bucketmap_tpu.ops.align import BandedAligner
             self.aligner = BandedAligner(index, pair_batch=pair_batch)
-            # share the device-resident packed genome with the fine
-            # stage (a second jnp.asarray would duplicate 0.4+ GB of HBM)
-            self.aligner.buckets_packed = self.fine.buckets_packed
+            if mesh is None:
+                # share the device-resident packed genome with the fine
+                # stage (a second jnp.asarray would duplicate 0.4+ GB of
+                # HBM)
+                self.aligner.buckets_packed = self.fine.buckets_packed
+            else:
+                # mesh mode: the fine stage's copy is bucket-SHARDED, but
+                # the aligner gathers arbitrary global bucket rows. Give
+                # it its own device-0 copy of the 2-bit genome
+                # (0.25 B/base — 0.78 GB even at GRCh38 scale) and run
+                # the DP stage single-device: a sharded gather would
+                # all-gather the table per dispatch, and replicated
+                # compute would redo the same DP on every chip.
+                self.aligner.buckets_packed = jax.device_put(
+                    np.asarray(index.buckets_packed), jax.devices()[0])
         self._bucket_sam_offset = index.ref_offset_of_bucket()
         # vectorized 2-location merge fast path (tests toggle this to
         # compare against the literal sequential merge)

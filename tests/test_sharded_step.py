@@ -95,3 +95,34 @@ def test_sharded_pipeline_with_overflow_split():
     assert set1 == set2
     assert st1.candidate_pairs >= n  # candidates were actually produced
     assert len(set1) >= n * 0.8
+
+def test_sharded_pipeline_align_mode(tmp_path):
+    """Align mode under the mesh: the aligner gets its own single-device
+    copy of the packed genome (the fine stage's is bucket-sharded), and
+    the mesh pipeline's SAM must equal the single-device pipeline's."""
+    cfg, index, sim = _world()
+    mesh = make_mesh(8)
+    n = 48
+    codes, quals, lengths, _ = _reads(sim, cfg, n)
+
+    from bucketmap_tpu.io.fastq import ReadBatch
+
+    def mk_batch():
+        return ReadBatch.from_arrays(
+            [str(i) for i in range(n)], codes, quals, lengths)
+
+    pm = BucketMapPipeline(index, batch_size=16, pair_batch=16,
+                           pairs_per_read=16, mesh=mesh, align=True)
+    ps = BucketMapPipeline(index, batch_size=16, pair_batch=16,
+                           pairs_per_read=16, align=True)
+    pm.map_reads(mk_batch(), tmp_path / "mesh.sam")
+    ps.map_reads(mk_batch(), tmp_path / "single.sam")
+
+    def recs(p):
+        return [line for line in open(p) if line[0] != "@"]
+
+    mesh_recs, single_recs = recs(tmp_path / "mesh.sam"), \
+        recs(tmp_path / "single.sam")
+    assert mesh_recs == single_recs
+    assert len(mesh_recs) >= n * 0.8
+    assert all("\t*\t" not in r.split("\t", 6)[5] for r in mesh_recs)
