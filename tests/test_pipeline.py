@@ -295,6 +295,7 @@ def test_align_stream_emit_writer_failure_propagates():
 
     fake = types.SimpleNamespace(
         _bucket_sam_offset=np.zeros(4, np.int64),
+        cfg=types.SimpleNamespace(read_len=8),
         aligner=FakeAligner())
     fake._emit_records = types.MethodType(failing_emit_records, fake)
 
