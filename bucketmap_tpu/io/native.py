@@ -62,6 +62,10 @@ def _load():
             lib.bmtpu_cigar_rle.argtypes = [
                 i64, i64, i64, np.ctypeslib.ndpointer(np.uint32),
                 np.ctypeslib.ndpointer(np.uint8), i64, i64p]
+            lib.bmtpu_runs_to_cigar.restype = i64
+            lib.bmtpu_runs_to_cigar.argtypes = [
+                i64, np.ctypeslib.ndpointer(np.uint16), i64p,
+                np.ctypeslib.ndpointer(np.uint8), i64, i64p]
             lib.bmtpu_format_sam.restype = i64
             lib.bmtpu_format_sam.argtypes = [
                 i64, i32p, i64p, np.ctypeslib.ndpointer(np.uint8),
@@ -148,6 +152,24 @@ def cigar_rle(packed: np.ndarray, max_ops: int):
     w = lib.bmtpu_cigar_rle(n, ow, max_ops, packed, buf, len(buf), offsets)
     if w < 0:
         raise RuntimeError("CIGAR RLE buffer overflow")
+    return buf[:w].tobytes(), offsets
+
+
+def runs_to_cigar(runs: np.ndarray, row_off: np.ndarray):
+    """Native CIGAR formatting of device-RLE'd runs (uint16
+    length << 2 | op, query order) -> (cigar_buf bytes, offsets (n,1,)
+    int64 == row byte spans), or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    runs = np.ascontiguousarray(runs, np.uint16)
+    row_off = np.ascontiguousarray(row_off, np.int64)
+    n = len(row_off) - 1
+    offsets = np.zeros(n + 1, np.int64)
+    buf = np.empty(max(4096, 8 * int(row_off[-1])), np.uint8)
+    w = lib.bmtpu_runs_to_cigar(n, runs, row_off, buf, len(buf), offsets)
+    if w < 0:
+        raise RuntimeError("CIGAR runs buffer overflow")
     return buf[:w].tobytes(), offsets
 
 

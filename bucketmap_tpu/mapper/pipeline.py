@@ -620,8 +620,6 @@ class BucketMapPipeline:
         (benchmark/long_read/log). This is new capability, designed
         TPU-first (all DPs are fixed-shape read_len-row batches).
         """
-        from bucketmap_tpu.ops.align import LO
-
         cfg = self.cfg
         rl = cfg.read_len
         n = len(lr)
@@ -638,9 +636,6 @@ class BucketMapPipeline:
         qcodes = np.where(mask, batch.codes[lr[:, None], src], 0) \
             .astype(np.uint8)
 
-        max_ops = rl + 2 * LO
-        ow16 = -(-max_ops // 16) * 16
-        shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
         sc = np.zeros(n, np.int64)
         bg = np.zeros(n, np.int64)
         nM = np.zeros(n, np.int64)
@@ -648,29 +643,27 @@ class BucketMapPipeline:
         nD = np.zeros(n, np.int64)
         seg_runs: list = [None] * n
 
-        def consume(s, e, sc_, bg_, pk):
+        def emit_runs(s, e, sc_, bg_, nr, runs, row_off):
             sc[s:e] = sc_
             bg[s:e] = bg_
-            codes_ = ((pk[:, :, None] >> shifts) & 3).astype(np.uint8) \
-                .reshape(e - s, ow16)[:, :max_ops]
-            nM[s:e] = (codes_ == 1).sum(1)
-            nI[s:e] = (codes_ == 2).sum(1)
-            nD[s:e] = (codes_ == 3).sum(1)
+            tot = int(row_off[-1])
+            ops_f = (runs[:tot] & 3).astype(np.int64)
+            lens_f = (runs[:tot] >> 2).astype(np.int64)
+            row_id = np.repeat(np.arange(e - s), np.diff(row_off))
+            for code, acc in ((1, nM), (2, nI), (3, nD)):
+                acc[s:e] = np.bincount(
+                    row_id, weights=np.where(ops_f == code, lens_f, 0),
+                    minlength=e - s)
             for i in range(e - s):
-                row = codes_[i]
-                nz = row[row != 0][::-1]          # query-order op codes
-                if len(nz) == 0:
-                    seg_runs[s + i] = []
-                    continue
-                ch = np.nonzero(np.diff(nz))[0]
-                st = np.concatenate([[0], ch + 1])
-                en = np.concatenate([ch + 1, [len(nz)]])
-                seg_runs[s + i] = [(int(b - a), int(nz[a]))
-                                   for a, b in zip(st, en)]
+                r0, r1 = int(row_off[i]), int(row_off[i + 1])
+                seg_runs[s + i] = [(int(l), int(o)) for l, o in
+                                   zip(lens_f[r0:r1], ops_f[r0:r1])]
 
-        self.aligner._run_batched(qcodes, sl.astype(np.int32),
-                                  lbk.astype(np.int32),
-                                  off_j.astype(np.int32), ~lorig, consume)
+        # ONT-rate segments carry ~2*indel_rate*read_len runs each —
+        # budget well above the short-read default
+        self.aligner.align_batch_runs_stream(
+            qcodes, sl.astype(np.int32), lbk.astype(np.int32),
+            off_j.astype(np.int32), ~lorig, emit_runs, run_cap_per_pair=48)
 
         blen = np.asarray(self.index.bucket_lengths)[lbk]
         width = np.minimum(sl + 1 + (cfg.indel_rate * sl).astype(np.int64),

@@ -51,6 +51,18 @@ LO = 32          # j - i >= -LO
 _OP_CHARS = {1: "M", 2: "I", 3: "D"}
 
 
+def pack_qcodes(q: np.ndarray) -> np.ndarray:
+    """2-bit-pack a (P, Q) uint8 code matrix into (P, ceil(Q/16)) uint32
+    (LSB-first) — 4x smaller host->device upload for the align stage."""
+    P, Q = q.shape
+    W = -(-Q // 16)
+    qp = np.zeros((P, W * 16), np.uint32)
+    qp[:, :Q] = q
+    qp = qp.reshape(P, W, 16) << (np.arange(16, dtype=np.uint32)
+                                  * 2)[None, None, :]
+    return np.bitwise_or.reduce(qp, axis=2)
+
+
 def _dp_fwd_pallas(textp_t, qcodes_t, qlen_row, width_row,
                    interpret: bool = False):
     """Forward banded DP as a Pallas TPU kernel.
@@ -157,6 +169,12 @@ class BandedAligner:
             self._dp_mode = ("scan" if jax.default_backend() == "cpu"
                              else "pallas")
         self._align = jax.jit(self._align_impl)
+        self._align_runs = jax.jit(self._align_runs_impl,
+                                   static_argnames="run_cap")
+        # device-RLE run budget per pair (shared across the sub-batch);
+        # short reads carry ~1.2 runs/CIGAR, so 8 is generous. Overflow
+        # falls back to the packed-ops path for that sub-batch.
+        self.run_cap_per_pair = int(os.environ.get("BMTPU_ALIGN_RUN_CAP", "8"))
 
     @property
     def buckets_packed(self):
@@ -194,9 +212,9 @@ class BandedAligner:
         return jax.vmap(shift_row)(flat, start)
 
     # ------------------------------------------------------------------
-    def _align_impl(self, buckets_packed, qcodes, qlen, bucket_ids, offsets,
+    def _align_core(self, buckets_packed, qcodes, qlen, bucket_ids, offsets,
                     is_rc, width):
-        """qcodes (P, Q) uint8; qlen/offsets/width (P,) int32; is_rc (P,) bool.
+        """qcodes (P, Q) int-like; qlen/offsets/width (P,) int32; is_rc (P,) bool.
 
         Returns score (P,) int32, begin (P,) int32 (text begin position),
         ops (P, Q + 2*LO) uint8 reversed traceback codes (0 = unused).
@@ -283,6 +301,15 @@ class BandedAligner:
         (fin_i, fin_d, ops), _ = jax.lax.scan(
             tb_step, (qlen, end_d, ops0), jnp.arange(max_ops))
         begin = fin_d - LO                                   # j at i == 0
+        return score, begin, ops
+
+    def _align_impl(self, buckets_packed, qcodes, qlen, bucket_ids, offsets,
+                    is_rc, width):
+        """Packed-ops output format: (score, begin, packed 2-bit op rows)."""
+        P, Q = qcodes.shape
+        max_ops = Q + 2 * LO
+        score, begin, ops = self._align_core(
+            buckets_packed, qcodes, qlen, bucket_ids, offsets, is_rc, width)
         # op codes are 2 bits; pack 16/word so the download is 1/4 the
         # bytes (the host link runs at ~14 MB/s)
         ow = -(-max_ops // 16)
@@ -293,13 +320,90 @@ class BandedAligner:
         return score, begin, packed
 
     # ------------------------------------------------------------------
-    def _run_batched(self, qcodes, qlen, bucket_ids, offsets, is_rc, consume):
+    MAX_ROW_RUNS = 64  # per-row run cap of the device RLE (static shape)
+
+    def _align_runs_impl(self, buckets_packed, qpacked, qlen, bucket_ids,
+                         offsets, is_rc, width, run_cap: int):
+        """Device-RLE output format: ONE int32 vector per sub-batch.
+
+        The packed-ops download was the align cycle's biggest line item
+        (754 KB/8192 pairs at the link's ~11 MB/s = ~70 ms); a CIGAR is
+        typically 1-3 runs, so the traceback is run-length-encoded ON
+        DEVICE and only the runs ship. qpacked (P, W) uint32 carries the
+        query codes 2-bit packed (4x smaller upload than the u8 matrix).
+        Layout of the result vector:
+          [0] total_runs  [1] max_runs_in_any_row  [2:4] 0
+          [4      : 4+P ]  score  (i32)
+          [4+P    : 4+2P]  begin  (i32)
+          [4+2P   : 4+3P]  n_runs (i32)
+          [4+3P   :     ]  run_cap/2 words, 2 uint16 runs per word
+                           (run = length << 2 | op, query order)
+        Overflow (total_runs > run_cap or a row with > MAX_ROW_RUNS
+        runs) is flagged in [1]/[0]; the caller falls back to the
+        packed-ops path for that sub-batch."""
+        P, W = qpacked.shape
+        Qp = W * 16
+        shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+        qcodes = ((qpacked[:, :, None] >> shifts[None, None, :])
+                  & jnp.uint32(3)).reshape(P, Qp).astype(jnp.uint8)
+        score, begin, ops = self._align_core(
+            buckets_packed, qcodes, qlen, bucket_ids, offsets, is_rc, width)
+
+        T = ops.shape[1]
+        MR = self.MAX_ROW_RUNS
+        rowi = jnp.arange(P, dtype=jnp.int32)[:, None]
+        col = jnp.arange(T, dtype=jnp.int32)[None, :]
+        # query-order codes with zeros skipped ANYWHERE (ops_to_cigar
+        # semantics): compact nonzero codes left, then RLE the prefix
+        codes = ops[:, ::-1].astype(jnp.int32)
+        nz = codes != 0
+        rank = jnp.cumsum(nz, axis=1, dtype=jnp.int32)
+        nnz = rank[:, -1]
+        comp = jnp.zeros((P, T + 1), jnp.int32).at[
+            rowi, jnp.where(nz, rank - 1, T)].set(codes, mode="drop")[:, :T]
+        live = col < nnz[:, None]
+        prev = jnp.pad(comp[:, :-1], ((0, 0), (1, 0)))
+        isstart = live & (comp != prev)
+        run_id = jnp.cumsum(isstart, axis=1, dtype=jnp.int32) - 1
+        n_runs = isstart.sum(axis=1, dtype=jnp.int32)
+        # per-row run table (P, MR): start col per run -> lengths + op
+        starts = jnp.zeros((P, MR + 1), jnp.int32).at[
+            rowi, jnp.where(isstart, jnp.minimum(run_id, MR), MR)
+        ].set(jnp.broadcast_to(col, (P, T)), mode="drop")
+        ridx = jnp.arange(MR, dtype=jnp.int32)[None, :]
+        valid_run = ridx < jnp.minimum(n_runs, MR)[:, None]
+        ends = jnp.where(ridx == n_runs[:, None] - 1, nnz[:, None],
+                         starts[:, 1:])
+        rlen = jnp.where(valid_run, ends - starts[:, :MR], 0)
+        rop = jnp.take_along_axis(
+            comp, jnp.clip(starts[:, :MR], 0, T - 1), axis=1)
+        run16 = jnp.where(valid_run, (rlen << 2) | rop, 0).astype(jnp.uint32)
+        # flatten rows' runs back-to-back into the shared budget
+        goff = jnp.cumsum(n_runs, dtype=jnp.int32)
+        base = (goff - n_runs)[:, None]
+        tgt = jnp.where(valid_run, base + ridx, run_cap)
+        flat = jnp.zeros(run_cap + 1, jnp.uint32).at[
+            tgt.reshape(-1)].set(run16.reshape(-1), mode="drop")[:run_cap]
+        flat2 = flat.reshape(run_cap // 2, 2)
+        runs_w = flat2[:, 0] | (flat2[:, 1] << jnp.uint32(16))
+        hdr = jnp.stack([goff[-1], n_runs.max(), jnp.int32(0), jnp.int32(0)])
+        return jnp.concatenate([
+            hdr, score, begin,
+            n_runs, jax.lax.bitcast_convert_type(runs_w, jnp.int32)])
+
+    # ------------------------------------------------------------------
+    def _run_batched(self, qcodes, qlen, bucket_ids, offsets, is_rc, consume,
+                     mode: str = "ops", run_cap_per_pair: int | None = None):
         """Sliding-window sub-batch driver: dispatches pb-row jobs, keeps
         two in flight (device compute of batch i+1 overlaps batch i's
-        download AND the host-side `consume(s, e, sc, bg, packed)` work).
-        Fully eager dispatch of a 1.5M-location workload exhausts HBM
-        with ~95 live input/workspace buffers; the DP's direction tensor
-        is (Q+1, pb, BAND) uint8 — ~40 KB per pair — so pb caps at 8192."""
+        download AND the host-side `consume` work). Fully eager dispatch
+        of a 1.5M-location workload exhausts HBM with ~95 live
+        input/workspace buffers; the DP's direction tensor is
+        (Q+1, pb, BAND) uint8 — ~40 KB per pair — so pb caps at 8192.
+
+        mode "ops": consume(s, e, sc, bg, packed_ops) — packed 2-bit
+        traceback rows. mode "runs": consume(s, e, vec) with the raw
+        device-RLE result vector (_align_runs_impl layout)."""
         cfg = self.cfg
         n = len(bucket_ids)
         width = np.minimum(
@@ -307,32 +411,134 @@ class BandedAligner:
             np.asarray(self.index.bucket_lengths)[bucket_ids] - offsets,
         ).astype(np.int32)
         pb = min(self.pair_batch, 8192)
+        if mode == "runs":
+            cpp = run_cap_per_pair or self.run_cap_per_pair
+            run_cap = -(-cpp * pb // 2) * 2              # even
         bounds = [(s, min(s + pb, n)) for s in range(0, n, pb)]
         pending: list = []
         next_b = 0
+
+        def _p_range(s, e, a, fill=0):
+            pad = pb - (e - s)
+            a = np.asarray(a[s:e])
+            if pad:
+                a = np.concatenate(
+                    [a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+            return a
 
         def _dispatch_one():
             nonlocal next_b
             s, e = bounds[next_b]
             next_b += 1
-            pad = pb - (e - s)
-            def _p(a, fill=0):
-                a = np.asarray(a[s:e])
-                return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
-            pending.append((s, e, self._align(
-                self.buckets_packed,
-                jnp.asarray(_p(qcodes)), jnp.asarray(_p(qlen, 1), dtype=jnp.int32),
-                jnp.asarray(_p(bucket_ids)), jnp.asarray(_p(offsets)),
-                jnp.asarray(_p(is_rc)), jnp.asarray(_p(width, 1)))))
+            args = (jnp.asarray(_p_range(s, e, qlen, 1), dtype=jnp.int32),
+                    jnp.asarray(_p_range(s, e, bucket_ids)),
+                    jnp.asarray(_p_range(s, e, offsets)),
+                    jnp.asarray(_p_range(s, e, is_rc)),
+                    jnp.asarray(_p_range(s, e, width, 1)))
+            if mode == "runs":
+                out = self._align_runs(
+                    self.buckets_packed,
+                    jnp.asarray(pack_qcodes(_p_range(s, e, qcodes))),
+                    *args, run_cap=run_cap)
+            else:
+                out = self._align(self.buckets_packed,
+                                  jnp.asarray(_p_range(s, e, qcodes)), *args)
+            pending.append((s, e, out))
 
         while next_b < len(bounds) and len(pending) < 2:
             _dispatch_one()
         while pending:
-            s, e, (sc, bg, packed) = pending.pop(0)
+            s, e, out = pending.pop(0)
             if next_b < len(bounds):
                 _dispatch_one()
-            consume(s, e, np.asarray(sc)[: e - s], np.asarray(bg)[: e - s],
-                    np.asarray(packed)[: e - s])
+            if mode == "runs":
+                consume(s, e, np.asarray(out))
+            else:
+                sc, bg, packed = out
+                consume(s, e, np.asarray(sc)[: e - s],
+                        np.asarray(bg)[: e - s], np.asarray(packed)[: e - s])
+
+    def _ops_rerun(self, qcodes, qlen, bucket_ids, offsets, is_rc, s, e):
+        """Overflow fallback: run rows [s, e) through the packed-ops
+        program (padded to the sub-batch shape so no new compile) and
+        return (sc, bg, packed_ops) numpy."""
+        cfg = self.cfg
+        width = np.minimum(
+            qlen + 1 + (cfg.indel_rate * qlen).astype(np.int64),
+            np.asarray(self.index.bucket_lengths)[bucket_ids] - offsets,
+        ).astype(np.int32)
+        pb = min(self.pair_batch, 8192)
+
+        def _p(a, fill=0):
+            pad = pb - (e - s)
+            a = np.asarray(a[s:e])
+            if pad:
+                a = np.concatenate(
+                    [a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+            return a
+
+        sc, bg, packed = self._align(
+            self.buckets_packed, jnp.asarray(_p(qcodes)),
+            jnp.asarray(_p(qlen, 1), dtype=jnp.int32),
+            jnp.asarray(_p(bucket_ids)), jnp.asarray(_p(offsets)),
+            jnp.asarray(_p(is_rc)), jnp.asarray(_p(width, 1)))
+        return (np.asarray(sc)[: e - s], np.asarray(bg)[: e - s],
+                np.asarray(packed)[: e - s])
+
+    def align_batch_runs_stream(self, qcodes, qlen, bucket_ids, offsets,
+                                is_rc, emit_runs,
+                                run_cap_per_pair: int | None = None):
+        """Streaming alignment with device-RLE'd CIGARs: per sub-batch,
+        `emit_runs(s, e, sc, bg, n_runs, runs, row_off)` — runs is a
+        uint16 array (length << 2 | op, query order), row i's runs are
+        runs[row_off[i] : row_off[i+1]). Sub-batches whose run budget
+        overflows transparently re-run through the packed-ops path."""
+        q = qcodes.shape[1]
+        max_ops = -(-q // 16) * 16 + 2 * LO
+        pb = min(self.pair_batch, 8192)
+        shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+
+        def consume(s, e, vec):
+            total, max_row = int(vec[0]), int(vec[1])
+            nr_all = vec[4 + 2 * pb: 4 + 3 * pb]
+            cap = (len(vec) - 4 - 3 * pb) * 2
+            if total > cap or max_row > self.MAX_ROW_RUNS:
+                # rare: dense-indel sub-batch; redo via packed ops
+                sc, bg, pk = self._ops_rerun(qcodes, qlen, bucket_ids,
+                                             offsets, is_rc, s, e)
+                ops = ((pk[:, :, None] >> shifts) & 3).astype(np.uint8)
+                ops = ops.reshape(e - s, -1)[:, :max_ops]
+                nrs = np.zeros(e - s, np.int64)
+                runs_l = []
+                for i in range(e - s):
+                    row = ops[i]
+                    nz = row[row != 0][::-1].astype(np.uint16)
+                    if len(nz):
+                        ch = np.nonzero(np.diff(nz))[0]
+                        st = np.concatenate([[0], ch + 1])
+                        en = np.concatenate([ch + 1, [len(nz)]])
+                        runs_l.append(((en - st).astype(np.uint16) << 2)
+                                      | nz[st])
+                        nrs[i] = len(st)
+                    else:
+                        runs_l.append(np.zeros(0, np.uint16))
+                runs = (np.concatenate(runs_l) if runs_l
+                        else np.zeros(0, np.uint16))
+                row_off = np.zeros(e - s + 1, np.int64)
+                np.cumsum(nrs, out=row_off[1:])
+                emit_runs(s, e, sc.astype(np.int32), bg.astype(np.int32),
+                          nrs.astype(np.int32), runs, row_off)
+                return
+            sc = vec[4: 4 + pb][: e - s]
+            bg = vec[4 + pb: 4 + 2 * pb][: e - s]
+            nr = nr_all[: e - s]
+            runs = vec[4 + 3 * pb:].view(np.uint16)
+            row_off = np.zeros(e - s + 1, np.int64)
+            np.cumsum(nr, out=row_off[1:])
+            emit_runs(s, e, sc, bg, nr, runs, row_off)
+
+        self._run_batched(qcodes, qlen, bucket_ids, offsets, is_rc, consume,
+                          mode="runs", run_cap_per_pair=run_cap_per_pair)
 
     def align_batch(self, qcodes: np.ndarray, qlen, bucket_ids, offsets, is_rc):
         """Batched with host padding; returns (score, begin, ops) numpy."""
@@ -356,37 +562,35 @@ class BandedAligner:
 
     def align_batch_stream(self, qcodes, qlen, bucket_ids, offsets, is_rc,
                            emit):
-        """Streaming alignment: as each sub-batch lands, its tracebacks
-        are run-length-encoded to CIGAR bytes (native C when available)
-        and handed to `emit(s, e, scores, begins, cigar_buf, offs)` —
+        """Streaming alignment: the device RLEs each traceback into runs
+        (only ~1-3 per CIGAR), the host formats them to CIGAR bytes
+        (native C when available) and hands
+        `emit(s, e, scores, begins, cigar_buf, offs)` —
         scores/begins/buf cover rows [s, e) only, offs is (e-s+1,). The
         (n, max_ops) uint8 ops matrix (568 MB at 1.5M locations) never
-        exists."""
+        exists, and neither does its 2-bit packed download."""
         from bucketmap_tpu.io import native
 
-        q = qcodes.shape[1]
-        max_ops = q + 2 * LO
-        ow = -(-max_ops // 16)
         use_native = native.available()
-        shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
 
-        def consume(s, e, sc, bg, pk):
-            res = native.cigar_rle(pk, max_ops) if use_native else None
+        def emit_runs(s, e, sc, bg, nr, runs, row_off):
+            res = native.runs_to_cigar(runs, row_off) if use_native else None
             if res is not None:
                 buf, offs = res
             else:
-                ops = ((pk[:, :, None] >> shifts) & 3).astype(np.uint8)
-                ops = ops.reshape(e - s, ow * 16)[:, :max_ops]
                 parts = []
                 offs = np.zeros(e - s + 1, np.int64)
                 for i in range(e - s):
-                    c = ops_to_cigar(ops[i])
-                    parts.append(b"" if c == "*" else c.encode())
+                    rr = runs[row_off[i]: row_off[i + 1]]
+                    c = "".join(f"{int(v) >> 2}{_OP_CHARS[int(v) & 3]}"
+                                for v in rr)
+                    parts.append(c.encode())
                     offs[i + 1] = offs[i] + len(parts[-1])
                 buf = b"".join(parts)
             emit(s, e, sc, bg, buf, offs)
 
-        self._run_batched(qcodes, qlen, bucket_ids, offsets, is_rc, consume)
+        self.align_batch_runs_stream(qcodes, qlen, bucket_ids, offsets,
+                                     is_rc, emit_runs)
 
     def align_batch_cigars(self, qcodes, qlen, bucket_ids, offsets, is_rc):
         """Collected variant of align_batch_stream: returns

@@ -194,6 +194,29 @@ int64_t bmtpu_cigar_rle(int64_t n, int64_t ow, int64_t max_ops,
     return w;
 }
 
+// Format device-RLE'd CIGAR runs into strings. Each run is a uint16
+// (length << 2 | op), ops 1=M 2=I 3=D, already in query order; row r's
+// runs are runs[row_off[r] .. row_off[r+1]). A row with no runs gets an
+// empty span (caller prints "*").
+// Returns total bytes written, or -1 on overflow.
+int64_t bmtpu_runs_to_cigar(int64_t n, const uint16_t* runs,
+                            const int64_t* row_off, char* out_buf,
+                            int64_t cap, int64_t* out_offsets) {
+    static const char op_char[4] = {'?', 'M', 'I', 'D'};
+    int64_t w = 0;
+    for (int64_t r = 0; r < n; r++) {
+        out_offsets[r] = w;
+        for (int64_t t = row_off[r]; t < row_off[r + 1]; t++) {
+            uint16_t v = runs[t];
+            if (w + 8 > cap) return -1;
+            w += sprintf(out_buf + w, "%u%c", (unsigned)(v >> 2),
+                         op_char[v & 3]);
+        }
+    }
+    out_offsets[n] = w;
+    return w;
+}
+
 // Format SAM alignment records into `out` (capacity out_cap).
 //   n records; per-record fields:
 //     qname: ids_buf + id_offsets[qid[i]] .. id_offsets[qid[i]+1]

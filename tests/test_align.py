@@ -139,3 +139,68 @@ def test_e2e_align_mode(world, tmp_path):
                 correct += 1
                 break
     assert correct >= 170, f"{correct}/200"
+
+
+def test_device_rle_runs_match_ops_path(world):
+    """The device-RLE runs path (align_batch_cigars / _align_runs_impl)
+    must emit byte-identical CIGARs, scores, and begins to the packed-ops
+    path (align_batch + ops_to_cigar) — including zero-skip semantics —
+    and the overflow fallback (tiny run budget) must be transparent."""
+    genome, index = world
+    rng = np.random.RandomState(11)
+    aligner = BandedAligner(index, pair_batch=32)
+
+    qlen = 120
+    n = 37                                # exercises padding (not % pb)
+    buckets = rng.randint(0, index.n_buckets, n).astype(np.int32)
+    offsets = rng.randint(1, 3000, n).astype(np.int32)
+    is_rc = rng.rand(n) < 0.5
+    qcodes = np.zeros((n, qlen), np.uint8)
+    for i in range(n):
+        bcodes = genome_codes(genome, index, int(buckets[i]))
+        frag = bcodes[offsets[i]: offsets[i] + qlen].copy()
+        for _ in range(rng.randint(0, 5)):
+            p = rng.randint(qlen)
+            r = rng.rand()
+            if r < 0.5:
+                frag[p] = (frag[p] + 1 + rng.randint(3)) % 4
+            elif r < 0.75:
+                frag = np.concatenate([frag[:p], [rng.randint(4)],
+                                       frag[p:-1]]).astype(np.uint8)
+            else:
+                frag = np.concatenate([frag[:p], frag[p + 1:],
+                                       [0]]).astype(np.uint8)
+        if is_rc[i]:
+            frag = revcomp_codes(frag)
+        qcodes[i] = frag
+    qlens = np.full(n, qlen, np.int32)
+
+    s_ops, b_ops, ops = aligner.align_batch(qcodes, qlens, buckets, offsets,
+                                            is_rc)
+    cig_ops = [ops_to_cigar(ops[i]) for i in range(n)]
+
+    s_r, b_r, buf, offs = aligner.align_batch_cigars(qcodes, qlens, buckets,
+                                                     offsets, is_rc)
+    cig_runs = [buf[offs[i]:offs[i + 1]].decode() or "*" for i in range(n)]
+    np.testing.assert_array_equal(s_r, s_ops)
+    np.testing.assert_array_equal(b_r, b_ops)
+    assert cig_runs == cig_ops
+
+    # forced overflow: run budget of 1/pair must trip the fallback and
+    # still produce identical output
+    sc2, bg2 = np.zeros(n, np.int32), np.zeros(n, np.int32)
+    cig2 = [None] * n
+
+    def emit_runs(s, e, sc_, bg_, nr, runs, row_off):
+        sc2[s:e] = sc_
+        bg2[s:e] = bg_
+        for i in range(e - s):
+            rr = runs[row_off[i]: row_off[i + 1]]
+            cig2[s + i] = "".join(
+                f"{int(v) >> 2}{'?MID'[int(v) & 3]}" for v in rr) or "*"
+
+    aligner.align_batch_runs_stream(qcodes, qlens, buckets, offsets, is_rc,
+                                    emit_runs, run_cap_per_pair=1)
+    np.testing.assert_array_equal(sc2, s_ops)
+    np.testing.assert_array_equal(bg2, b_ops)
+    assert cig2 == cig_ops
