@@ -320,7 +320,10 @@ class BandedAligner:
         return score, begin, packed
 
     # ------------------------------------------------------------------
-    MAX_ROW_RUNS = 64  # per-row run cap of the device RLE (static shape)
+    # Per-row run cap of the device RLE (static shape). A RECORD-worthy
+    # alignment at quality threshold qt has score >= qt - 60, i.e. at
+    # most 60 - qt edits and ~2x that many runs; 128 covers qt >= 0.
+    MAX_ROW_RUNS = 128
 
     def _align_runs_impl(self, buckets_packed, qpacked, qlen, bucket_ids,
                          offsets, is_rc, width, run_cap: int):
@@ -357,6 +360,13 @@ class BandedAligner:
         # semantics): compact nonzero codes left, then RLE the prefix
         codes = ops[:, ::-1].astype(jnp.int32)
         nz = codes != 0
+        # Wrap-kept records (score < -60, the reproduced size_t-wrap
+        # quirk, bucket_locator.h:571) are garbage alignments whose
+        # tracebacks carry ~50-180 runs each — they would blow the run
+        # budget on every sub-batch and their CIGARs are meaningless.
+        # Zero their runs on device; the SAM emits '*' for them
+        # (PARITY.md DIVERGENCES).
+        nz = nz & (score >= -60)[:, None]
         rank = jnp.cumsum(nz, axis=1, dtype=jnp.int32)
         nnz = rank[:, -1]
         comp = jnp.zeros((P, T + 1), jnp.int32).at[
@@ -511,7 +521,9 @@ class BandedAligner:
                 nrs = np.zeros(e - s, np.int64)
                 runs_l = []
                 for i in range(e - s):
-                    row = ops[i]
+                    # same wrap rule as the device RLE: garbage
+                    # alignments kept by the size_t wrap emit '*'
+                    row = ops[i] if sc[i] >= -60 else ops[i][:0]
                     nz = row[row != 0][::-1].astype(np.uint16)
                     if len(nz):
                         ch = np.nonzero(np.diff(nz))[0]

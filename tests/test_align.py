@@ -127,8 +127,11 @@ def test_e2e_align_mode(world, tmp_path):
     gt = [line.split() for line in open(paths["position_gt"])]
     recs = {}
     for rec in read_sam(tmp_path / "al.sam"):
-        assert rec["cigar"] != "*"
         assert rec["mapq"] >= 40 or rec["mapq"] > 200  # threshold or wrap
+        # wrap-kept garbage records carry '*' (PARITY.md DIVERGENCES);
+        # every genuine record has a CIGAR
+        if rec["mapq"] >= 40 and rec["mapq"] <= 60:
+            assert rec["cigar"] != "*"
         recs.setdefault(rec["qname"], []).append(rec)
     correct = 0
     for i, (rid, pos, rc, _cigar) in enumerate(gt):

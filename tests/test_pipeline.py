@@ -316,3 +316,24 @@ def test_align_stream_emit_writer_failure_propagates():
     assert not t.is_alive(), "deadlocked: producer blocked on dead writer"
     assert isinstance(result.get("raised"), OSError)
     assert len(calls) == 1  # writer stopped writing after the failure
+
+
+def test_fetch_group_concat_fetch_matches_single(world, tmp_path):
+    """fetch_group > 1 fetches K concatenated step outputs with one
+    device_get (pipeline.py:locate_chunks). Dead-default on the
+    bandwidth-poor link but shipped — its SAM must be byte-identical to
+    the fetch_group=1 path, including across the final partial group."""
+    genome, index = world
+    sim = ShortReadSimulator(CFG, substitution_rate=0.01, seed=77)
+    sim.read(genome)
+    paths = sim.generate(tmp_path, "fg", 700)   # 6 batches of 128: 4+2 group
+    batch = read_fastq(paths["fastq"])
+
+    pipe1 = BucketMapPipeline(index, batch_size=128, pair_batch=64,
+                              fetch_group=1)
+    pipe1.map_reads(batch, tmp_path / "fg1.sam")
+    pipe4 = BucketMapPipeline(index, batch_size=128, pair_batch=64,
+                              fetch_group=4)
+    assert pipe4.fetch_group == 4
+    pipe4.map_reads(batch, tmp_path / "fg4.sam")
+    assert (tmp_path / "fg1.sam").read_bytes() == (tmp_path / "fg4.sam").read_bytes()
