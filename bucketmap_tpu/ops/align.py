@@ -354,10 +354,9 @@ class BandedAligner:
 
         T = ops.shape[1]
         MR = self.MAX_ROW_RUNS
-        rowi = jnp.arange(P, dtype=jnp.int32)[:, None]
         col = jnp.arange(T, dtype=jnp.int32)[None, :]
         # query-order codes with zeros skipped ANYWHERE (ops_to_cigar
-        # semantics): compact nonzero codes left, then RLE the prefix
+        # semantics)
         codes = ops[:, ::-1].astype(jnp.int32)
         nz = codes != 0
         # Wrap-kept records (score < -60, the reproduced size_t-wrap
@@ -367,26 +366,27 @@ class BandedAligner:
         # Zero their runs on device; the SAM emits '*' for them
         # (PARITY.md DIVERGENCES).
         nz = nz & (score >= -60)[:, None]
-        rank = jnp.cumsum(nz, axis=1, dtype=jnp.int32)
-        nnz = rank[:, -1]
-        comp = jnp.zeros((P, T + 1), jnp.int32).at[
-            rowi, jnp.where(nz, rank - 1, T)].set(codes, mode="drop")[:, :T]
-        live = col < nnz[:, None]
-        prev = jnp.pad(comp[:, :-1], ((0, 0), (1, 0)))
-        isstart = live & (comp != prev)
+        # A nonzero position starts a run iff the previous NONZERO code
+        # (zeros skipped) differs. prev-nonzero via an exclusive cummax
+        # of the strictly increasing key col*4+code — no compaction
+        # scatter (TPU scatters serialize; fused masked reductions fly).
+        key = jnp.where(nz, col * 4 + codes, -1)
+        prev_key = jax.lax.cummax(
+            jnp.pad(key[:, :-1], ((0, 0), (1, 0)), constant_values=-1),
+            axis=1)
+        prev_code = jnp.where(prev_key >= 0, prev_key & 3, 0)
+        isstart = nz & (codes != prev_code)
         run_id = jnp.cumsum(isstart, axis=1, dtype=jnp.int32) - 1
         n_runs = isstart.sum(axis=1, dtype=jnp.int32)
-        # per-row run table (P, MR): start col per run -> lengths + op
-        starts = jnp.zeros((P, MR + 1), jnp.int32).at[
-            rowi, jnp.where(isstart, jnp.minimum(run_id, MR), MR)
-        ].set(jnp.broadcast_to(col, (P, T)), mode="drop")
+        # per-run length/op as masked one-hot reductions over (P, T, MR)
+        # — XLA fuses the one-hot into the sums, nothing materializes
         ridx = jnp.arange(MR, dtype=jnp.int32)[None, :]
+        oh = nz[:, :, None] & (run_id[:, :, None] == ridx[:, None, :])
+        rlen = jnp.sum(oh, axis=1, dtype=jnp.int32)              # (P, MR)
+        ropsum = jnp.sum(jnp.where(oh, codes[:, :, None], 0), axis=1,
+                         dtype=jnp.int32)
+        rop = ropsum // jnp.maximum(rlen, 1)                     # constant/run
         valid_run = ridx < jnp.minimum(n_runs, MR)[:, None]
-        ends = jnp.where(ridx == n_runs[:, None] - 1, nnz[:, None],
-                         starts[:, 1:])
-        rlen = jnp.where(valid_run, ends - starts[:, :MR], 0)
-        rop = jnp.take_along_axis(
-            comp, jnp.clip(starts[:, :MR], 0, T - 1), axis=1)
         run16 = jnp.where(valid_run, (rlen << 2) | rop, 0).astype(jnp.uint32)
         # flatten rows' runs back-to-back into the shared budget
         goff = jnp.cumsum(n_runs, dtype=jnp.int32)
@@ -409,7 +409,7 @@ class BandedAligner:
         download AND the host-side `consume` work). Fully eager dispatch
         of a 1.5M-location workload exhausts HBM with ~95 live
         input/workspace buffers; the DP's direction tensor is
-        (Q+1, pb, BAND) uint8 — ~40 KB per pair — so pb caps at 8192.
+        (Q+1, pb, BAND) uint8 — ~40 KB per pair — so pb caps at 16384.
 
         mode "ops": consume(s, e, sc, bg, packed_ops) — packed 2-bit
         traceback rows. mode "runs": consume(s, e, vec) with the raw
@@ -420,7 +420,11 @@ class BandedAligner:
             qlen + 1 + (cfg.indel_rate * qlen).astype(np.int64),
             np.asarray(self.index.bucket_lengths)[bucket_ids] - offsets,
         ).astype(np.int32)
-        pb = min(self.pair_batch, 8192)
+        pb = min(self.pair_batch, 16384)
+        # window depth bounds the live DP direction workspace
+        # ((Q+1, pb, BAND) uint8 ≈ 316 MB at pb=8192): 3-deep hides the
+        # download behind compute; at pb=16384 cap at 2 (1.26 GB live)
+        depth = 2 if pb > 8192 else 3
         if mode == "runs":
             cpp = run_cap_per_pair or self.run_cap_per_pair
             run_cap = -(-cpp * pb // 2) * 2              # even
@@ -455,7 +459,7 @@ class BandedAligner:
                                   jnp.asarray(_p_range(s, e, qcodes)), *args)
             pending.append((s, e, out))
 
-        while next_b < len(bounds) and len(pending) < 2:
+        while next_b < len(bounds) and len(pending) < depth:
             _dispatch_one()
         while pending:
             s, e, out = pending.pop(0)
@@ -477,7 +481,7 @@ class BandedAligner:
             qlen + 1 + (cfg.indel_rate * qlen).astype(np.int64),
             np.asarray(self.index.bucket_lengths)[bucket_ids] - offsets,
         ).astype(np.int32)
-        pb = min(self.pair_batch, 8192)
+        pb = min(self.pair_batch, 16384)
 
         def _p(a, fill=0):
             pad = pb - (e - s)
@@ -505,7 +509,7 @@ class BandedAligner:
         overflows transparently re-run through the packed-ops path."""
         q = qcodes.shape[1]
         max_ops = -(-q // 16) * 16 + 2 * LO
-        pb = min(self.pair_batch, 8192)
+        pb = min(self.pair_batch, 16384)
         shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
 
         def consume(s, e, vec):

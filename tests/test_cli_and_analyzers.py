@@ -61,7 +61,9 @@ def test_cli_align_mode_and_reference_index_load(workdir):
     from bucketmap_tpu.io.sam import read_sam
     recs = list(read_sam(d / "out_al.sam"))
     assert len(recs) >= 250
-    assert all(r["cigar"] != "*" for r in recs)
+    # wrap-kept records (mapq > 60 after the uint8 wrap) emit '*'
+    # (PARITY.md DIVERGENCES); genuine records all carry CIGARs
+    assert all(r["cigar"] != "*" for r in recs if r["mapq"] <= 60)
 
 
 def test_analyze_fastq(workdir, capsys):
