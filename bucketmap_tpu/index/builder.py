@@ -44,6 +44,17 @@ _PRIMES = [
 ]
 
 
+def materialize(a):
+    """np.memmap -> resident ndarray before a host->device transfer.
+
+    device_put from a memmap-backed artifact array measured 8 MB/s on
+    the remote link vs 15-50 MB/s resident — page faults inside the
+    transfer loop stall the serializer. load_index mmaps the multi-GB
+    tables (host RAM stays low for host-only flows); every device
+    uploader materializes through this first."""
+    return np.array(a) if isinstance(a, np.memmap) else a
+
+
 def _choose_prime_larger_than(size: int) -> int:
     for p in _PRIMES:
         if p > size:

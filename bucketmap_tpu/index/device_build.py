@@ -102,7 +102,7 @@ def build_fine_index_on_device(index: BucketIndex, row_chunk: int = 2048):
     max_seg = 1
     for s in range(0, n, row_chunk):
         e = min(s + row_chunk, n)
-        rows = np.asarray(index.buckets_packed[s:e])
+        rows = np.array(index.buckets_packed[s:e])  # memmap -> resident
         lens = lengths[s:e]
         if e - s < row_chunk:   # pad the tail chunk (one compile)
             pad = row_chunk - (e - s)

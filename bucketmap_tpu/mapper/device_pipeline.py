@@ -183,10 +183,11 @@ class DeviceMapper:
         n = idx.n_buckets
 
         def padded(a, rows, fill):
+            from bucketmap_tpu.index.builder import materialize
             if a is None:
                 return None
             if a.shape[0] >= rows:
-                return np.asarray(a)
+                return materialize(np.asarray(a))
             pad = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
             return np.pad(np.asarray(a), pad, constant_values=fill)
 

@@ -179,7 +179,8 @@ class BandedAligner:
     @property
     def buckets_packed(self):
         if self._bp_dev is None:
-            self._bp_dev = jnp.asarray(self._bp_host)
+            from bucketmap_tpu.index.builder import materialize
+            self._bp_dev = jnp.asarray(materialize(self._bp_host))
         return self._bp_dev
 
     @buckets_packed.setter

@@ -480,6 +480,7 @@ class CoarseMapper:
     @property
     def qgram_words(self):
         if self._qgram_dev is None:
+            from bucketmap_tpu.index.builder import materialize
             qw = self._qgram_host
             if self._scan_mode == "pallas":
                 # tile-align rows for the manual-DMA presence gather (an
@@ -489,7 +490,7 @@ class CoarseMapper:
                 wq = -(-w // 1024) * 1024
                 if wq != w:
                     qw = np.pad(np.asarray(qw), ((0, 0), (0, wq - w)))
-            self._qgram_dev = jnp.asarray(qw)
+            self._qgram_dev = jnp.asarray(materialize(qw))
         return self._qgram_dev
 
     @qgram_words.setter

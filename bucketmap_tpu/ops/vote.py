@@ -182,8 +182,10 @@ class FineLocator:
 
     def _lazy(self, name):
         if name not in self._dev:
+            from bucketmap_tpu.index.builder import materialize
             h = self._host[name]
-            self._dev[name] = None if h is None else jnp.asarray(h)
+            self._dev[name] = None if h is None \
+                else jnp.asarray(materialize(h))
         return self._dev[name]
 
     def _set(self, name, v):
