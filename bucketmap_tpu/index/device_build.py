@@ -121,7 +121,7 @@ def build_fine_index_on_device(index: BucketIndex, row_chunk: int = 2048):
 
 def build_fine_index_on_device_sharded(bp, lengths, cfg, mesh,
                                        bucket_axis: str,
-                                       row_chunk: int = 2048):
+                                       row_chunk: int = 1024):
     """Sharded variant: each device builds the fine rows of ITS bucket
     range from its local buckets_packed shard — no host fine tables, no
     cross-device traffic, and per-shard HBM is 1/Db of the full table
@@ -153,19 +153,35 @@ def build_fine_index_on_device_sharded(bp, lengths, cfg, mesh,
         cr -= 1
 
     def body(bp_l, lens_l):
-        def f(args):
-            return _build_chunk_impl(args[0], args[1], k, lb, low_bits)
+        # Incremental fori_loop with the output buffers as loop carries
+        # (XLA aliases carries in place): peak HBM = final table + ONE
+        # chunk's sort workspace. A lax.map over chunks materialized the
+        # whole (n_chunks, cr, Lpos) stack NEXT TO the reshaped result —
+        # 2x the 6.8 GB table, an OOM on a real 16 GB chip.
+        n_chunks = bp_l.shape[0] // cr
 
-        fp, pt, ms = jax.lax.map(
-            f, (bp_l.reshape(-1, cr, wb), lens_l.reshape(-1, cr)))
-        return (fp.reshape(-1, lpos), pt.reshape(-1, 4097),
-                ms.max().reshape(1))
+        def it(i, carry):
+            fp, pt, ms = carry
+            s = i * cr
+            rows = jax.lax.dynamic_slice_in_dim(bp_l, s, cr, 0)
+            lens = jax.lax.dynamic_slice_in_dim(lens_l, s, cr, 0)
+            fpc, ptc, m2 = _build_chunk_impl(rows, lens, k, lb, low_bits)
+            fp = jax.lax.dynamic_update_slice(fp, fpc, (s, 0))
+            pt = jax.lax.dynamic_update_slice(pt, ptc, (s, 0))
+            return fp, pt, jnp.maximum(ms, m2)
+
+        fp0 = jnp.full((bp_l.shape[0], lpos), jnp.uint32(0xFFFFFFFF))
+        pt0 = jnp.full((bp_l.shape[0], 4097), jnp.int32(lpos))
+        fp, pt, ms = jax.lax.fori_loop(
+            0, n_chunks, it, (fp0, pt0, jnp.int32(1)))
+        return fp, pt, ms.reshape(1)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(bucket_axis, None), P(bucket_axis)),
         out_specs=(P(bucket_axis, None), P(bucket_axis, None),
-                   P(bucket_axis))))
+                   P(bucket_axis)),
+        check_vma=False))   # loop carries init from unvarying constants
     fp, pt, ms = fn(bp, lengths)
     steps = int(max(1, int(np.asarray(ms).max()))).bit_length()
     return fp, pt, steps, low_bits
