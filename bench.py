@@ -294,6 +294,7 @@ def main():
         "warmup_seconds": round(warmup_s, 1),
         "peak_host_rss_kb": rsrc["peak_host_rss_kb"],
         "device_hbm_peak_bytes": hbm_peak,
+        "device_hbm_peak_source": rsrc["device_hbm_peak_source"],
         "io_native": io_native,
         **extra,
     }))

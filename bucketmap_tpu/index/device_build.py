@@ -170,18 +170,24 @@ def build_fine_index_on_device_sharded(bp, lengths, cfg, mesh,
             pt = jax.lax.dynamic_update_slice(pt, ptc, (s, 0))
             return fp, pt, jnp.maximum(ms, m2)
 
-        fp0 = jnp.full((bp_l.shape[0], lpos), jnp.uint32(0xFFFFFFFF))
-        pt0 = jnp.full((bp_l.shape[0], 4097), jnp.int32(lpos))
-        fp, pt, ms = jax.lax.fori_loop(
-            0, n_chunks, it, (fp0, pt0, jnp.int32(1)))
+        # carries are constant-initialized; mark them device-varying
+        # explicitly so shard_map's varying-manual-axes check (check_vma,
+        # on by default) stays enabled for the whole body
+        fp0 = jax.lax.pcast(
+            jnp.full((bp_l.shape[0], lpos), jnp.uint32(0xFFFFFFFF)),
+            bucket_axis, to="varying")
+        pt0 = jax.lax.pcast(
+            jnp.full((bp_l.shape[0], 4097), jnp.int32(lpos)),
+            bucket_axis, to="varying")
+        ms0 = jax.lax.pcast(jnp.int32(1), bucket_axis, to="varying")
+        fp, pt, ms = jax.lax.fori_loop(0, n_chunks, it, (fp0, pt0, ms0))
         return fp, pt, ms.reshape(1)
 
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(bucket_axis, None), P(bucket_axis)),
         out_specs=(P(bucket_axis, None), P(bucket_axis, None),
-                   P(bucket_axis)),
-        check_vma=False))   # loop carries init from unvarying constants
+                   P(bucket_axis))))
     fp, pt, ms = fn(bp, lengths)
     steps = int(max(1, int(np.asarray(ms).max()))).bit_length()
     return fp, pt, steps, low_bits

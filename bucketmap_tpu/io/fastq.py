@@ -84,6 +84,13 @@ def read_fastq(path: str | os.PathLike, max_len: int | None = None,
                use_native: bool = True) -> ReadBatch:
     with open(path, "rb") as f:
         data = f.read()
+    return parse_fastq(data, max_len=max_len, use_native=use_native)
+
+
+def parse_fastq(data: bytes, max_len: int | None = None,
+                use_native: bool = True) -> ReadBatch:
+    """Parse one FASTQ byte buffer into a ReadBatch (the body of
+    read_fastq, factored out for the streaming iterator)."""
     if use_native:
         from bucketmap_tpu.io import native
         res = native.parse_fastq_bytes(data, max_len=max_len)
@@ -139,3 +146,47 @@ def read_fastq(path: str | os.PathLike, max_len: int | None = None,
     return ReadBatch(codes=codes, quals=quals, lengths=lengths,
                      seq_ascii=seq_ascii, qual_ascii=qual_ascii,
                      ids_buf=ids_buf, id_offsets=id_offsets)
+
+
+def iter_fastq_batches(path: str | os.PathLike,
+                       reads_per_batch: int = 131072,
+                       max_len: int | None = None,
+                       use_native: bool = True):
+    """Stream a FASTQ as ReadBatch chunks of `reads_per_batch` reads
+    (the last one smaller), holding ~one chunk of file bytes at a time.
+
+    The full-file path materializes 4 dense (n, L) matrices plus the
+    whole byte buffer — ~2 GB for 1M x 300bp — before mapping even
+    starts; the reference holds ~0.87 GB TOTAL (benchmark/README.md:168).
+    Streaming parse + map + emit per chunk is the TPU build's memory
+    story: peak host residency is one chunk being mapped plus one being
+    written.
+
+    Record boundaries: a FASTQ record is exactly 4 lines, so the cut
+    point after k complete records is the byte after the 4k-th newline —
+    found with one numpy newline scan per accumulated block run.
+    """
+    target_nl = 4 * reads_per_batch
+    pending: list[bytes] = []
+    pending_nl = 0
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(64 << 20)
+            if not block:
+                break
+            pending.append(block)
+            pending_nl += block.count(b"\n")
+            while pending_nl >= target_nl:
+                data = b"".join(pending)
+                nl = np.flatnonzero(
+                    np.frombuffer(data, dtype=np.uint8) == ord("\n"))
+                cut = int(nl[target_nl - 1]) + 1
+                yield parse_fastq(data[:cut], max_len=max_len,
+                                  use_native=use_native)
+                tail = data[cut:]
+                pending = [tail] if tail else []
+                pending_nl = len(nl) - target_nl
+    if pending:
+        data = b"".join(pending)
+        if data.strip():
+            yield parse_fastq(data, max_len=max_len, use_native=use_native)

@@ -251,9 +251,15 @@ class BucketMapPipeline:
                 next_b += 1
             stats.coarse_seconds += time.perf_counter() - t0
 
+        from bucketmap_tpu.utils.debug import hbm_sample
+
         reads_with_cand = np.zeros(n, dtype=bool)
         _fill()
         while inflight:
+            # live-array HBM watermark (fallback accounting for backends
+            # with no memory_stats); the window is full here, so index
+            # tables + all in-flight batch buffers are live
+            hbm_sample()
             group = [inflight.pop(0)
                      for _ in range(min(self.fetch_group, len(inflight)))]
             t0 = time.perf_counter()
@@ -660,10 +666,13 @@ class BucketMapPipeline:
                                    zip(lens_f[r0:r1], ops_f[r0:r1])]
 
         # ONT-rate segments carry ~2*indel_rate*read_len runs each —
-        # budget well above the short-read default
+        # budget well above the short-read default. wrap_star=False: a
+        # segment with > 60 edits is still a usable traceback here (the
+        # size_t-wrap '*' rule is a short-read parity quirk).
         self.aligner.align_batch_runs_stream(
             qcodes, sl.astype(np.int32), lbk.astype(np.int32),
-            off_j.astype(np.int32), ~lorig, emit_runs, run_cap_per_pair=48)
+            off_j.astype(np.int32), ~lorig, emit_runs,
+            run_cap_per_pair=48, wrap_star=False)
 
         blen = np.asarray(self.index.bucket_lengths)[lbk]
         width = np.minimum(sl + 1 + (cfg.indel_rate * sl).astype(np.int64),

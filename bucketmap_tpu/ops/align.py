@@ -170,7 +170,7 @@ class BandedAligner:
                              else "pallas")
         self._align = jax.jit(self._align_impl)
         self._align_runs = jax.jit(self._align_runs_impl,
-                                   static_argnames="run_cap")
+                                   static_argnames=("run_cap", "wrap_star"))
         # device-RLE run budget per pair (shared across the sub-batch);
         # short reads carry ~1.2 runs/CIGAR, so 8 is generous. Overflow
         # falls back to the packed-ops path for that sub-batch.
@@ -327,7 +327,8 @@ class BandedAligner:
     MAX_ROW_RUNS = 128
 
     def _align_runs_impl(self, buckets_packed, qpacked, qlen, bucket_ids,
-                         offsets, is_rc, width, run_cap: int):
+                         offsets, is_rc, width, run_cap: int,
+                         wrap_star: bool = True):
         """Device-RLE output format: ONE int32 vector per sub-batch.
 
         The packed-ops download was the align cycle's biggest line item
@@ -336,15 +337,22 @@ class BandedAligner:
         DEVICE and only the runs ship. qpacked (P, W) uint32 carries the
         query codes 2-bit packed (4x smaller upload than the u8 matrix).
         Layout of the result vector:
-          [0] total_runs  [1] max_runs_in_any_row  [2:4] 0
+          [0] total_runs  [1] max_runs_in_any_row  [2] max_run_len  [3] 0
           [4      : 4+P ]  score  (i32)
           [4+P    : 4+2P]  begin  (i32)
           [4+2P   : 4+3P]  n_runs (i32)
           [4+3P   :     ]  run_cap/2 words, 2 uint16 runs per word
                            (run = length << 2 | op, query order)
-        Overflow (total_runs > run_cap or a row with > MAX_ROW_RUNS
-        runs) is flagged in [1]/[0]; the caller falls back to the
-        packed-ops path for that sub-batch."""
+        Overflow (total_runs > run_cap, a row with > MAX_ROW_RUNS runs,
+        or a run longer than 16383 — the uint16 packing's length field)
+        is flagged in [0]/[1]/[2]; the caller falls back to the
+        packed-ops path for that sub-batch.
+
+        wrap_star (static): apply the short-read size_t-wrap rule — zero
+        all runs of rows with score < -60 so the SAM emits '*'
+        (PARITY.md DIVERGENCES; bucket_locator.h:571). The long-read
+        segment path passes False: a 300bp ONT segment with > 60 edits
+        is still a real alignment whose traceback the stitcher needs."""
         P, W = qpacked.shape
         Qp = W * 16
         shifts = jnp.arange(16, dtype=jnp.uint32) * 2
@@ -365,8 +373,9 @@ class BandedAligner:
         # tracebacks carry ~50-180 runs each — they would blow the run
         # budget on every sub-batch and their CIGARs are meaningless.
         # Zero their runs on device; the SAM emits '*' for them
-        # (PARITY.md DIVERGENCES).
-        nz = nz & (score >= -60)[:, None]
+        # (PARITY.md DIVERGENCES). Short-read path only (wrap_star).
+        if wrap_star:
+            nz = nz & (score >= -60)[:, None]
         # A nonzero position starts a run iff the previous NONZERO code
         # (zeros skipped) differs. prev-nonzero via an exclusive cummax
         # of the strictly increasing key col*4+code — no compaction
@@ -388,6 +397,7 @@ class BandedAligner:
                          dtype=jnp.int32)
         rop = ropsum // jnp.maximum(rlen, 1)                     # constant/run
         valid_run = ridx < jnp.minimum(n_runs, MR)[:, None]
+        max_rlen = jnp.where(valid_run, rlen, 0).max()  # >16383 ⇒ fallback
         run16 = jnp.where(valid_run, (rlen << 2) | rop, 0).astype(jnp.uint32)
         # flatten rows' runs back-to-back into the shared budget
         goff = jnp.cumsum(n_runs, dtype=jnp.int32)
@@ -397,14 +407,15 @@ class BandedAligner:
             tgt.reshape(-1)].set(run16.reshape(-1), mode="drop")[:run_cap]
         flat2 = flat.reshape(run_cap // 2, 2)
         runs_w = flat2[:, 0] | (flat2[:, 1] << jnp.uint32(16))
-        hdr = jnp.stack([goff[-1], n_runs.max(), jnp.int32(0), jnp.int32(0)])
+        hdr = jnp.stack([goff[-1], n_runs.max(), max_rlen, jnp.int32(0)])
         return jnp.concatenate([
             hdr, score, begin,
             n_runs, jax.lax.bitcast_convert_type(runs_w, jnp.int32)])
 
     # ------------------------------------------------------------------
     def _run_batched(self, qcodes, qlen, bucket_ids, offsets, is_rc, consume,
-                     mode: str = "ops", run_cap_per_pair: int | None = None):
+                     mode: str = "ops", run_cap_per_pair: int | None = None,
+                     wrap_star: bool = True):
         """Sliding-window sub-batch driver: dispatches pb-row jobs, keeps
         two in flight (device compute of batch i+1 overlaps batch i's
         download AND the host-side `consume` work). Fully eager dispatch
@@ -454,7 +465,7 @@ class BandedAligner:
                 out = self._align_runs(
                     self.buckets_packed,
                     jnp.asarray(pack_qcodes(_p_range(s, e, qcodes))),
-                    *args, run_cap=run_cap)
+                    *args, run_cap=run_cap, wrap_star=wrap_star)
             else:
                 out = self._align(self.buckets_packed,
                                   jnp.asarray(_p_range(s, e, qcodes)), *args)
@@ -502,7 +513,8 @@ class BandedAligner:
 
     def align_batch_runs_stream(self, qcodes, qlen, bucket_ids, offsets,
                                 is_rc, emit_runs,
-                                run_cap_per_pair: int | None = None):
+                                run_cap_per_pair: int | None = None,
+                                wrap_star: bool = True):
         """Streaming alignment with device-RLE'd CIGARs: per sub-batch,
         `emit_runs(s, e, sc, bg, n_runs, runs, row_off)` — runs is a
         uint16 array (length << 2 | op, query order), row i's runs are
@@ -517,7 +529,10 @@ class BandedAligner:
             total, max_row = int(vec[0]), int(vec[1])
             nr_all = vec[4 + 2 * pb: 4 + 3 * pb]
             cap = (len(vec) - 4 - 3 * pb) * 2
-            if total > cap or max_row > self.MAX_ROW_RUNS:
+            # vec[2] = longest run: > 16383 overflows the uint16 length
+            # field (length << 2 | op) and would corrupt silently
+            if total > cap or max_row > self.MAX_ROW_RUNS \
+                    or int(vec[2]) > 16383:
                 # rare: dense-indel sub-batch; redo via packed ops
                 sc, bg, pk = self._ops_rerun(qcodes, qlen, bucket_ids,
                                              offsets, is_rc, s, e)
@@ -528,7 +543,9 @@ class BandedAligner:
                 for i in range(e - s):
                     # same wrap rule as the device RLE: garbage
                     # alignments kept by the size_t wrap emit '*'
-                    row = ops[i] if sc[i] >= -60 else ops[i][:0]
+                    # (short-read path only; see wrap_star)
+                    row = (ops[i] if not wrap_star or sc[i] >= -60
+                           else ops[i][:0])
                     nz = row[row != 0][::-1].astype(np.uint16)
                     if len(nz):
                         ch = np.nonzero(np.diff(nz))[0]
@@ -555,7 +572,8 @@ class BandedAligner:
             emit_runs(s, e, sc, bg, nr, runs, row_off)
 
         self._run_batched(qcodes, qlen, bucket_ids, offsets, is_rc, consume,
-                          mode="runs", run_cap_per_pair=run_cap_per_pair)
+                          mode="runs", run_cap_per_pair=run_cap_per_pair,
+                          wrap_star=wrap_star)
 
     def align_batch(self, qcodes: np.ndarray, qlen, bucket_ids, offsets, is_rc):
         """Batched with host padding; returns (score, begin, ops) numpy."""

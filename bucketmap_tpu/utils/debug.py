@@ -49,6 +49,35 @@ def validation_mode(disable_jit: bool = True):
             yield
 
 
+_live_watermark_bytes = 0
+
+
+def hbm_sample() -> int:
+    """Sample the live-device-array byte total and fold it into a
+    process-wide watermark; returns the current total.
+
+    The fallback HBM accounting for backends whose memory_stats() is
+    None (the remote 'axon' tunnel): sum of jax.live_arrays() nbytes.
+    Undercounts transient XLA workspace (scratch inside a running
+    program is invisible to the array registry), so the watermark is a
+    LOWER bound on the true peak — call it at batch boundaries where
+    the persistent state (index tables + in-flight batch buffers)
+    dominates. NOTE jax.profiler.device_memory_profile() is NOT usable
+    here: on the axon PJRT tunnel it fatally aborts the process
+    (PJRT_Executable_SizeOfGeneratedCodeInBytes unimplemented).
+    """
+    global _live_watermark_bytes
+    try:
+        import jax
+
+        now = sum(a.nbytes for a in jax.live_arrays())
+    except Exception:
+        return 0
+    if now > _live_watermark_bytes:
+        _live_watermark_bytes = now
+    return now
+
+
 def resource_report() -> dict:
     """Peak host RSS + device HBM watermark, mirroring the reference
     harness's `/usr/bin/time -v` discipline (benchmark/README.md:89-130:
@@ -56,24 +85,32 @@ def resource_report() -> dict:
 
     Returns {"peak_host_rss_kb": int,
              "device_hbm_peak_bytes": int | None,
-             "device_hbm_limit_bytes": int | None} — the HBM fields are
-    None when the backend doesn't expose memory_stats (CPU; the remote
-    'axon' tunnel returns None).
+             "device_hbm_peak_source": str | None,
+             "device_hbm_limit_bytes": int | None} — peak is taken from
+    backend memory_stats() when exposed (source "memory_stats"), else
+    from the live-array watermark accumulated by hbm_sample() (source
+    "live_arrays", a lower bound excluding in-program scratch), else
+    None (no sample ever taken, e.g. CPU test runs).
     """
     import resource
 
     out = {"peak_host_rss_kb": int(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss),
-        "device_hbm_peak_bytes": None, "device_hbm_limit_bytes": None}
+        "device_hbm_peak_bytes": None, "device_hbm_peak_source": None,
+        "device_hbm_limit_bytes": None}
     try:
         import jax
 
         ms = jax.local_devices()[0].memory_stats()
         if ms:
             out["device_hbm_peak_bytes"] = ms.get("peak_bytes_in_use")
+            out["device_hbm_peak_source"] = "memory_stats"
             out["device_hbm_limit_bytes"] = ms.get("bytes_limit")
     except Exception:
         pass
+    if out["device_hbm_peak_bytes"] is None and _live_watermark_bytes:
+        out["device_hbm_peak_bytes"] = _live_watermark_bytes
+        out["device_hbm_peak_source"] = "live_arrays"
     return out
 
 
