@@ -112,7 +112,6 @@ def score_sam(sam_path, gt_path, index, tol=10):
 def main():
     from bucketmap_tpu.config import MapperConfig
     from bucketmap_tpu.index import builder
-    from bucketmap_tpu.io.fastq import read_fastq
     from bucketmap_tpu.mapper.pipeline import BucketMapPipeline
     from bucketmap_tpu.sim.simulator import (ShortReadSimulator, random_genome,
                                              repeat_genome)
@@ -197,9 +196,16 @@ def main():
     from bucketmap_tpu.io import native
     io_native = native.available()  # (re)builds csrc from source on demand
     log(f"[bench] native host-IO: {'ENGAGED' if io_native else 'python fallback'}")
+    # STREAMED mapping (round 5): the full-file parse held 4 dense
+    # (1M, 300) matrices + the byte buffer (~2 GB); map_fastq now
+    # parses + maps + emits per ~128k-read chunk. Only the warmup
+    # prefix is parsed up front.
     t0 = time.time()
-    batch = read_fastq(fastq_path)
-    log(f"[bench] fastq parsed in {time.time()-t0:.2f}s ({batch.num_reads} reads)")
+    from bucketmap_tpu.io.fastq import iter_fastq_batches
+    warm_batch = next(iter(iter_fastq_batches(fastq_path,
+                                              reads_per_batch=BATCH)))
+    log(f"[bench] warmup prefix parsed in {time.time()-t0:.2f}s "
+        f"({warm_batch.num_reads} reads)")
 
     # when the fine index exceeds the device budget the pipeline falls to
     # the table-free packed-scan vote path, which materializes
@@ -225,20 +231,27 @@ def main():
     # persistent cache this is seconds; a cold cache pays full XLA
     # compile once and the next run hits.
     t0 = time.time()
-    pipe.map_reads(batch.head(BATCH), os.path.join(CACHE, "warmup.sam"))
+    pipe.map_reads(warm_batch, os.path.join(CACHE, "warmup.sam"))
     warmup_s = time.time() - t0
     log(f"[bench] warmup (compile) {warmup_s:.1f}s "
         f"({'hot' if warmup_s < 60 else 'cold'} persistent cache)")
+    del warm_batch
 
     sam_path = os.path.join(CACHE, f"out_{tag}{'_al' if ALIGN else ''}.sam")
     t0 = time.time()
-    stats = pipe.map_reads(batch, sam_path)
+    stats = pipe.map_fastq(fastq_path, sam_path)
     dt = time.time() - t0
     rps = stats.num_reads / dt
     log(f"[bench] mapped {stats.num_reads} reads in {dt:.1f}s: "
         f"{rps:.0f} reads/s  (coarse {stats.coarse_seconds:.1f}s, "
         f"fine {stats.fine_seconds:.1f}s, out {stats.output_seconds:.1f}s, "
         f"pairs {stats.candidate_pairs}, locations {stats.mapped_locations})")
+    # resource snapshot BEFORE scoring: the accuracy scorer is a separate
+    # analyzer in the reference's discipline (/usr/bin/time wraps the MAP
+    # run only, benchmark/short_read/benchmark_map.sh) — its Python string
+    # lists would otherwise dominate peak RSS
+    from bucketmap_tpu.utils.debug import resource_report
+    rsrc = resource_report()
 
     # accuracy vs ground truth (vectorized: numpy column scan, no
     # per-read Python dict loop)
@@ -255,14 +268,14 @@ def main():
         # +-10 is the short-read convention (sam_file_analyzer.cpp default);
         # ONT indels drift the implied read start by ~sqrt(rate*len) bases,
         # so also score at a drift-aware tolerance like long-read evals do
-        tol = max(10, int(0.02 * float(batch.lengths.mean())))
+        tol = max(10, int(0.02 * stats.num_bases / max(1, stats.num_reads)))
         _, correct_drift = score_sam(sam_path, gt_path, index, tol=tol)
         extra[f"pct_correct_position_tol{tol}"] = round(correct_drift, 2)
     log(f"[bench] %mapped={mapped_pct:.2f} %correct-position={correct_pct:.2f} "
         f"{extra} (scored in {time.time()-t0:.1f}s)")
 
     if LONG:
-        mean_len = float(batch.lengths.mean())
+        mean_len = stats.num_bases / max(1, stats.num_reads)
         desc = (f"{NUM_READS} x ~{mean_len/1000:.1f}kb ONT-like reads, "
                 f"{GENOME_MBP:g} Mbp repeat-structured genome; vs_baseline "
                 f"= bases/s over the 3116 reads/s x 300bp short-read "
@@ -276,8 +289,6 @@ def main():
                 + f", {'align' if ALIGN else 'align-free'}")
         vsb = rps / (BASELINE_READS_PER_SEC_ALIGN if ALIGN
                      else BASELINE_READS_PER_SEC_NOALIGN)
-    from bucketmap_tpu.utils.debug import resource_report
-    rsrc = resource_report()
     hbm_peak = rsrc["device_hbm_peak_bytes"]
     log(f"[bench] peak host RSS {rsrc['peak_host_rss_kb']/1048576:.2f} GB, "
         f"device HBM peak "

@@ -55,6 +55,42 @@ def materialize(a):
     return np.array(a) if isinstance(a, np.memmap) else a
 
 
+def slab_upload(a, width: int | None = None, slab_bytes: int = 64 << 20):
+    """Host->device transfer of a 2-D table in bounded slabs, with
+    optional column padding applied ON DEVICE.
+
+    Whole-table uploads cost 2x the table in transient host RSS (the
+    materialized copy + the transfer serialization, which the remote
+    axon client RETAINS — every uploaded byte stays resident, measured
+    in round 5) and, for the padded q-gram occupancy table, an extra
+    ~25% for columns of zeros. Slabbing bounds the materialize transient
+    to `slab_bytes` and never ships padding. Returns a device array of
+    shape (rows, width or a.shape[1]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rows, w = a.shape
+    wq = w if width is None else width
+    assert wq >= w
+    slab_rows = max(1, slab_bytes // max(1, w * a.dtype.itemsize))
+    if rows <= slab_rows and wq == w and not isinstance(a, np.memmap):
+        return jnp.asarray(a)
+    buf = jnp.zeros((rows, wq), a.dtype)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def upd(b, s, r0):
+        return jax.lax.dynamic_update_slice(b, s, (r0, jnp.int32(0)))
+
+    for r0 in range(0, rows, slab_rows):
+        slab = np.ascontiguousarray(np.asarray(a[r0: r0 + slab_rows]))
+        buf = upd(buf, jnp.asarray(slab), jnp.int32(r0))
+        del slab
+    return jax.block_until_ready(buf)
+
+
 def _choose_prime_larger_than(size: int) -> int:
     for p in _PRIMES:
         if p > size:

@@ -11,6 +11,7 @@ read_len bases only, like the reference (q_gram_mapper.h:521).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import jax
@@ -83,6 +84,7 @@ def filter_best_locations(locs: list[Location], read_length: int,
 @dataclasses.dataclass
 class MapStats:
     num_reads: int = 0
+    num_bases: int = 0
     reads_with_candidates: int = 0
     candidate_pairs: int = 0
     mapped_locations: int = 0
@@ -304,6 +306,7 @@ class BucketMapPipeline:
                        orig[order], so[order])
         stats.reads_with_candidates += int(reads_with_cand.sum())
         stats.num_reads += n
+        stats.num_bases += int(batch.lengths.sum())
 
     def locate_arrays(self, batch: ReadBatch, stats: MapStats | None = None):
         """Map every read; returns parallel numpy arrays of locations
@@ -381,30 +384,105 @@ class BucketMapPipeline:
         return chunks
 
     # ------------------------------------------------------------------
-    def map_fastq(self, fastq_path, sam_path, quality_threshold: int | None = None):
-        batch = read_fastq(fastq_path)
-        return self.map_reads(batch, sam_path, quality_threshold)
-
-    def map_reads(self, batch: ReadBatch, sam_path,
-                  quality_threshold: int | None = None) -> MapStats:
-        """Locate + merge + SAM-emit, STREAMED per device dispatch with a
-        dedicated writer thread: the collection loop stays blocked on
-        the device link while merge/format/write of earlier chunks runs
-        on the writer (numpy + native-C formatting release the GIL). The
-        reference runs these phases strictly sequentially
-        (bucket_locator.h:455-611); round 2 interleaved them on one
-        thread, which serialized host output against collection on slow
-        hosts. output_seconds is writer-thread time (overlapped)."""
+    def map_fastq(self, fastq_path, sam_path,
+                  quality_threshold: int | None = None,
+                  reads_per_chunk: int | None = None) -> MapStats:
+        """STREAMED file mapping: parse + map + emit per ~128k-read
+        chunk, holding ~two chunks of read arrays at any moment instead
+        of the whole file (4 dense (n, L) matrices + the byte buffer =
+        ~2 GB at 1M x 300bp; the reference's whole-run peak is 0.87 GB,
+        benchmark/README.md:168). A reader thread pre-parses the next
+        chunk while the current one maps, so parse time hides behind
+        device compute. BMTPU_STREAM_CHUNK overrides the chunk size;
+        0 disables streaming (whole-file parse, the old behavior)."""
         import queue
         import threading
 
-        from bucketmap_tpu.utils.debug import maybe_trace
+        from bucketmap_tpu.io.fastq import iter_fastq_batches
 
+        if reads_per_chunk is None:
+            reads_per_chunk = int(os.environ.get("BMTPU_STREAM_CHUNK",
+                                                 str(1 << 17)))
+        if reads_per_chunk <= 0:
+            return self.map_reads(read_fastq(fastq_path), sam_path,
+                                  quality_threshold)
         cfg = self.cfg
         stats = MapStats()
         writer = SamWriter(sam_path, [n for n in self.index.ref_names],
                            self.index.sam_ref_lengths())
-        qt = cfg.quality_threshold if quality_threshold is None else quality_threshold
+        qt = (cfg.quality_threshold if quality_threshold is None
+              else quality_threshold)
+
+        q: queue.Queue = queue.Queue(maxsize=1)
+        rerr: list[BaseException] = []
+        stop = threading.Event()
+
+        def _reader():
+            try:
+                for b in iter_fastq_batches(fastq_path,
+                                            reads_per_batch=reads_per_chunk):
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as e:
+                rerr.append(e)
+            finally:
+                stop.set()      # EOF or error: q.get timeouts below end
+
+        thr = threading.Thread(target=_reader, name="bmtpu-fastq-reader")
+        thr.start()
+        try:
+            while True:
+                try:
+                    batch = q.get(timeout=0.25)
+                except queue.Empty:
+                    if stop.is_set() and q.empty():
+                        break
+                    continue
+                self._map_batch(writer, batch, qt, stats)
+                del batch
+        finally:
+            stop.set()          # error path: unblock the reader's put
+            thr.join()
+            writer.close()
+        if rerr:
+            raise rerr[0]
+        return stats
+
+    def map_reads(self, batch: ReadBatch, sam_path,
+                  quality_threshold: int | None = None) -> MapStats:
+        """Map one in-memory ReadBatch (tests, warmup, simulators)."""
+        cfg = self.cfg
+        stats = MapStats()
+        writer = SamWriter(sam_path, [n for n in self.index.ref_names],
+                           self.index.sam_ref_lengths())
+        qt = (cfg.quality_threshold if quality_threshold is None
+              else quality_threshold)
+        try:
+            self._map_batch(writer, batch, qt, stats)
+        finally:
+            writer.close()
+        return stats
+
+    def _map_batch(self, writer, batch: ReadBatch, qt, stats) -> None:
+        """Locate + merge + SAM-emit one ReadBatch, STREAMED per device
+        dispatch with a dedicated writer thread: the collection loop
+        stays blocked on the device link while merge/format/write of
+        earlier chunks runs on the writer (numpy + native-C formatting
+        release the GIL). The reference runs these phases strictly
+        sequentially (bucket_locator.h:455-611); round 2 interleaved
+        them on one thread, which serialized host output against
+        collection on slow hosts. output_seconds is writer-thread time
+        (overlapped)."""
+        import queue
+        import threading
+
+        from bucketmap_tpu.utils.debug import maybe_trace
 
         if self.align:
             # two-phase: locate everything first, then align ALL
@@ -423,8 +501,7 @@ class BucketMapPipeline:
                 chunk = (z, z, z, z, np.zeros(0, bool), z)
             self._emit_locations(writer, batch, chunk, qt, stats)
             stats.output_seconds += time.perf_counter() - t0
-            writer.close()
-            return stats
+            return
 
         q: queue.Queue = queue.Queue(maxsize=max(2, self.prefetch))
         werr: list[BaseException] = []
@@ -453,10 +530,8 @@ class BucketMapPipeline:
         finally:
             q.put(None)
             thr.join()
-            writer.close()
         if werr:
             raise werr[0]
-        return stats
 
     def _emit_locations(self, writer, batch, chunk, qt, stats):
         """Merge + format + write SAM records for one location chunk

@@ -51,6 +51,31 @@ LO = 32          # j - i >= -LO
 _OP_CHARS = {1: "M", 2: "I", 3: "D"}
 
 
+def band_geometry(Q: int, indel_rate: float) -> tuple[int, int]:
+    """(band, lo) for a query width Q at the config's indel rate.
+
+    The optimal path of a REAL alignment stays within net-indel drift of
+    the main diagonal: |j - i| <= begin + drift where begin <= width -
+    qlen = 1 + trunc(indel_rate*qlen) (bucket_locator.h:521-527 window)
+    and drift <= ceil(indel_rate*qlen). The legacy fixed 128-diagonal
+    band is ~10x oversized for short reads at indel_rate 0.02 — DP time
+    and the traceback tensor scale linearly with the band, so sizing it
+    to the workload is the single biggest align-stage win. Q is
+    64-quantized so neighbouring batch widths (reads of 300+-8 bp)
+    share one compiled geometry. Falls back to the legacy (128, 32)
+    whenever the computed window would exceed it (e.g. ONT-rate
+    indel_rate=0.1 segments), so capability is never reduced.
+    """
+    qb = -(-Q // 64) * 64
+    drift = int(np.ceil(indel_rate * qb)) + 8
+    lo = -(-drift // 8) * 8
+    hi = 1 + int(indel_rate * qb) + drift
+    band = max(32, -(-(lo + hi) // 16) * 16)
+    if lo > LO or band > BAND:
+        return BAND, LO
+    return band, lo
+
+
 def pack_qcodes(q: np.ndarray) -> np.ndarray:
     """2-bit-pack a (P, Q) uint8 code matrix into (P, ceil(Q/16)) uint32
     (LSB-first) — 4x smaller host->device upload for the align stage."""
@@ -64,6 +89,7 @@ def pack_qcodes(q: np.ndarray) -> np.ndarray:
 
 
 def _dp_fwd_pallas(textp_t, qcodes_t, qlen_row, width_row,
+                   band: int = BAND, lo: int = LO,
                    interpret: bool = False):
     """Forward banded DP as a Pallas TPU kernel.
 
@@ -86,33 +112,39 @@ def _dp_fwd_pallas(textp_t, qcodes_t, qlen_row, width_row,
     PB = 128
     assert P % PB == 0, (P, PB)
 
+    shifts = []
+    k = 1
+    while k < band:                                       # cummax ladder
+        shifts.append(k)
+        k *= 2
+
     def kernel(textp_ref, qcodes_ref, qlen_ref, width_ref,
                dirs_ref, final_ref):
         width = width_ref[0][None, :]                     # (1, PB)
         qlen = qlen_ref[0][None, :]
-        d_col = jax.lax.broadcasted_iota(jnp.int32, (BAND, PB), 0)
-        j0 = d_col - LO
+        d_col = jax.lax.broadcasted_iota(jnp.int32, (band, PB), 0)
+        j0 = d_col - lo
         row0 = jnp.where((j0 >= 0) & (j0 <= width), 0, NEG)
-        dirs_ref[0] = jnp.zeros((BAND, PB), jnp.uint8)    # row 0 all stop
+        dirs_ref[0] = jnp.zeros((band, PB), jnp.uint8)    # row 0 all stop
         negrow = jnp.full((1, PB), NEG, jnp.int32)
         init_final = jnp.where(qlen == 0, row0,
-                               jnp.full((BAND, PB), NEG, jnp.int32))
+                               jnp.full((band, PB), NEG, jnp.int32))
 
         def step(i, carry):
             prev, final = carry
             qchar = qcodes_ref[pl.ds(i - 1, 1), :]        # (1, PB)
-            trow = textp_ref[pl.ds(i - 1, BAND), :]       # (BAND, PB)
+            trow = textp_ref[pl.ds(i - 1, band), :]       # (band, PB)
             sub = jnp.where(trow == qchar, 0, -1)
             diag = prev + sub
             up = jnp.concatenate([prev[1:], negrow], axis=0) - 1
             base = jnp.maximum(diag, up)
             m = base + d_col
-            for k in (1, 2, 4, 8, 16, 32, 64):            # cummax over d
+            for k in shifts:                              # cummax over d
                 m = jnp.maximum(m, jnp.concatenate(
-                    [jnp.full((k, PB), NEG, jnp.int32), m[:BAND - k]],
+                    [jnp.full((k, PB), NEG, jnp.int32), m[:band - k]],
                     axis=0))
             m = m - d_col
-            j = i + d_col - LO
+            j = i + d_col - lo
             valid = (j >= 0) & (j <= width)
             m = jnp.where(valid, m, NEG)
             dirs = jnp.where(m == diag, 1, jnp.where(m == up, 2, 3))
@@ -134,12 +166,12 @@ def _dp_fwd_pallas(textp_t, qcodes_t, qlen_row, width_row,
             pl.BlockSpec((1, PB), lambda b: (0, b)),
         ],
         out_specs=[
-            pl.BlockSpec((Q + 1, BAND, PB), lambda b: (0, 0, b)),
-            pl.BlockSpec((BAND, PB), lambda b: (0, b)),
+            pl.BlockSpec((Q + 1, band, PB), lambda b: (0, 0, b)),
+            pl.BlockSpec((band, PB), lambda b: (0, b)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Q + 1, BAND, P), jnp.uint8),
-            jax.ShapeDtypeStruct((BAND, P), jnp.int32),
+            jax.ShapeDtypeStruct((Q + 1, band, P), jnp.uint8),
+            jax.ShapeDtypeStruct((band, P), jnp.int32),
         ],
         interpret=interpret,
     )(textp_t, qcodes_t, qlen_row, width_row)
@@ -218,10 +250,11 @@ class BandedAligner:
         """qcodes (P, Q) int-like; qlen/offsets/width (P,) int32; is_rc (P,) bool.
 
         Returns score (P,) int32, begin (P,) int32 (text begin position),
-        ops (P, Q + 2*LO) uint8 reversed traceback codes (0 = unused).
+        ops (P, Q + 2*lo) uint8 reversed traceback codes (0 = unused).
         """
         P, Q = qcodes.shape
-        wmax = Q + BAND  # static upper bound on window length
+        band, lo = band_geometry(Q, self.cfg.indel_rate)
+        wmax = Q + band  # static upper bound on window length
         text = self._extract_windows(buckets_packed, bucket_ids, offsets,
                                      wmax).astype(jnp.int32)
         jcol = jnp.arange(wmax, dtype=jnp.int32)
@@ -232,26 +265,26 @@ class BandedAligner:
         text = jnp.where(is_rc[:, None], text_rc, text)
         text = jnp.where(in_win, text, 4)                    # sentinel: never matches
 
-        # left-pad by LO so row i reads text[(i-1) + d - LO] as a slice at i-1
-        textp = jnp.pad(text, ((0, 0), (LO, 0)), constant_values=4)
+        # left-pad by lo so row i reads text[(i-1) + d - lo] as a slice at i-1
+        textp = jnp.pad(text, ((0, 0), (lo, 0)), constant_values=4)
 
-        d_idx = jnp.arange(BAND, dtype=jnp.int32)
-        # row 0: M[0][j] = 0 for 0 <= j <= width else NEG ; j = d - LO
-        j0 = d_idx[None, :] - LO
+        d_idx = jnp.arange(band, dtype=jnp.int32)
+        # row 0: M[0][j] = 0 for 0 <= j <= width else NEG ; j = d - lo
+        j0 = d_idx[None, :] - lo
         row0 = jnp.where((j0 >= 0) & (j0 <= width[:, None]), 0, NEG)
 
         def step(carry, i):
             prev, final_row = carry
             qchar = qcodes[:, i - 1].astype(jnp.int32)       # (P,)
-            trow = jax.lax.dynamic_slice_in_dim(textp, i - 1, BAND, axis=1)
+            trow = jax.lax.dynamic_slice_in_dim(textp, i - 1, band, axis=1)
             sub = jnp.where(trow == qchar[:, None], 0, -1)
             diag = prev + sub
             up = jnp.concatenate([prev[:, 1:], jnp.full((P, 1), NEG, jnp.int32)],
                                  axis=1) - 1
             base = jnp.maximum(diag, up)
             m = jax.lax.cummax(base + d_idx[None, :], axis=1) - d_idx[None, :]
-            # cell validity: j = i + d - LO within [0, width]
-            j = i + d_idx[None, :] - LO
+            # cell validity: j = i + d - lo within [0, width]
+            j = i + d_idx[None, :] - lo
             valid = (j >= 0) & (j <= width[:, None])
             m = jnp.where(valid, m, NEG)
             dirs = jnp.where(m == diag, 1, jnp.where(m == up, 2, 3)).astype(jnp.uint8)
@@ -267,48 +300,56 @@ class BandedAligner:
                 jnp.pad(qcodes.astype(jnp.int32).T, pad),
                 jnp.pad(qlen[None, :], pad, constant_values=1),
                 jnp.pad(width[None, :], pad, constant_values=1),
-                interpret=self._dp_interpret)
-            final_row = final_t[:, :P].T                     # (P, BAND)
+                band=band, lo=lo, interpret=self._dp_interpret)
+            final_row = final_t[:, :P].T                     # (P, band)
             def get_dir(i, d):
-                return dirs_t[i, jnp.clip(d, 0, BAND - 1), jnp.arange(P)]
+                return dirs_t[i, jnp.clip(d, 0, band - 1), jnp.arange(P)]
         else:
             init_final = jnp.where((qlen == 0)[:, None], row0,
-                                   jnp.full((P, BAND), NEG))
+                                   jnp.full((P, band), NEG))
             (_, final_row), dirs = jax.lax.scan(
                 step, (row0, init_final), jnp.arange(1, Q + 1))
             dirs = jnp.concatenate(
-                [jnp.zeros((1, P, BAND), jnp.uint8), dirs])  # row 0 all stop
+                [jnp.zeros((1, P, band), jnp.uint8), dirs])  # row 0 all stop
             def get_dir(i, d):
-                return dirs[i, jnp.arange(P), jnp.clip(d, 0, BAND - 1)]
+                return dirs[i, jnp.arange(P), jnp.clip(d, 0, band - 1)]
 
         score = final_row.max(axis=1)
         # smallest j among co-optimal ends
         end_d = jnp.argmax(final_row, axis=1).astype(jnp.int32)
 
-        # traceback (device): build reversed op list
-        max_ops = Q + 2 * LO
+        # traceback (device): build reversed op list. The scan is
+        # latency-bound (per-step dispatch of (P,) gathers), so 4 steps
+        # run per iteration and ops are EMITTED (scan ys) instead of
+        # scatter-carried — measured ~2.5x faster than the 1-step
+        # carried-buffer form at (8192, 364).
+        max_ops = Q + 2 * lo
+        UNROLL = 4
+        n_iter = -(-max_ops // UNROLL)
 
-        def tb_step(state, t):
-            i, d, ops = state
-            cur = get_dir(i, d)
-            active = (i > 0)
-            op = jnp.where(active, cur, 0).astype(jnp.uint8)
-            ops = ops.at[:, t].set(op)
-            i = jnp.where(active & (op != 3), i - 1, i)
-            d = jnp.where(op == 2, d + 1, jnp.where(op == 3, d - 1, d))
-            return (i, d, ops), None
+        def tb_step(state, _):
+            i, d = state
+            opl = []
+            for _j in range(UNROLL):
+                cur = get_dir(i, d)
+                active = (i > 0)
+                op = jnp.where(active, cur, 0).astype(jnp.uint8)
+                opl.append(op)
+                i = jnp.where(active & (op != 3), i - 1, i)
+                d = jnp.where(op == 2, d + 1, jnp.where(op == 3, d - 1, d))
+            return (i, d), jnp.stack(opl)                    # (UNROLL, P)
 
-        ops0 = jnp.zeros((P, max_ops), dtype=jnp.uint8)
-        (fin_i, fin_d, ops), _ = jax.lax.scan(
-            tb_step, (qlen, end_d, ops0), jnp.arange(max_ops))
-        begin = fin_d - LO                                   # j at i == 0
+        (fin_i, fin_d), opsy = jax.lax.scan(
+            tb_step, (qlen, end_d), None, length=n_iter)
+        ops = opsy.reshape(n_iter * UNROLL, P).T[:, :max_ops]
+        begin = fin_d - lo                                   # j at i == 0
         return score, begin, ops
 
     def _align_impl(self, buckets_packed, qcodes, qlen, bucket_ids, offsets,
                     is_rc, width):
         """Packed-ops output format: (score, begin, packed 2-bit op rows)."""
         P, Q = qcodes.shape
-        max_ops = Q + 2 * LO
+        max_ops = Q + 2 * band_geometry(Q, self.cfg.indel_rate)[1]
         score, begin, ops = self._align_core(
             buckets_packed, qcodes, qlen, bucket_ids, offsets, is_rc, width)
         # op codes are 2 bits; pack 16/word so the download is 1/4 the
@@ -521,7 +562,7 @@ class BandedAligner:
         runs[row_off[i] : row_off[i+1]). Sub-batches whose run budget
         overflows transparently re-run through the packed-ops path."""
         q = qcodes.shape[1]
-        max_ops = -(-q // 16) * 16 + 2 * LO
+        max_ops = q + 2 * band_geometry(q, self.cfg.indel_rate)[1]
         pb = min(self.pair_batch, 16384)
         shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
 
@@ -579,7 +620,7 @@ class BandedAligner:
         """Batched with host padding; returns (score, begin, ops) numpy."""
         n = len(bucket_ids)
         q = qcodes.shape[1]
-        max_ops = q + 2 * LO
+        max_ops = q + 2 * band_geometry(q, self.cfg.indel_rate)[1]
         ow = -(-max_ops // 16)
         out_s = np.zeros(n, np.int32)
         out_b = np.zeros(n, np.int32)

@@ -480,17 +480,20 @@ class CoarseMapper:
     @property
     def qgram_words(self):
         if self._qgram_dev is None:
-            from bucketmap_tpu.index.builder import materialize
+            from bucketmap_tpu.index.builder import slab_upload
             qw = self._qgram_host
+            w = qw.shape[1]
             if self._scan_mode == "pallas":
                 # tile-align rows for the manual-DMA presence gather (an
                 # HBM row slice must cover whole (8, 128) tiles); padded
-                # columns are past `bound` and mask to -1 downstream
-                w = qw.shape[1]
+                # columns are past `bound` and mask to -1 downstream.
+                # Padding happens ON DEVICE (slab_upload): the old host
+                # np.pad + whole-table jnp.asarray cost ~2.1 GB of
+                # transient+retained host RSS at genome scale
                 wq = -(-w // 1024) * 1024
-                if wq != w:
-                    qw = np.pad(np.asarray(qw), ((0, 0), (0, wq - w)))
-            self._qgram_dev = jnp.asarray(materialize(qw))
+            else:
+                wq = w
+            self._qgram_dev = slab_upload(qw, width=wq)
         return self._qgram_dev
 
     @qgram_words.setter

@@ -182,10 +182,16 @@ class FineLocator:
 
     def _lazy(self, name):
         if name not in self._dev:
-            from bucketmap_tpu.index.builder import materialize
+            from bucketmap_tpu.index.builder import materialize, slab_upload
             h = self._host[name]
-            self._dev[name] = None if h is None \
-                else jnp.asarray(materialize(h))
+            if h is None:
+                self._dev[name] = None
+            elif h.ndim == 2 and h.nbytes > (64 << 20):
+                # bounded-transient transfer for the multi-GB tables
+                # (buckets_packed / host-built fine_packed)
+                self._dev[name] = slab_upload(h)
+            else:
+                self._dev[name] = jnp.asarray(materialize(h))
         return self._dev[name]
 
     def _set(self, name, v):

@@ -207,3 +207,22 @@ def test_device_rle_runs_match_ops_path(world):
     np.testing.assert_array_equal(sc2, s_ops)
     np.testing.assert_array_equal(bg2, b_ops)
     assert cig2 == cig_ops
+
+
+def test_band_geometry():
+    """Auto band sizing: tight for short reads, legacy for ONT rates."""
+    from bucketmap_tpu.ops.align import BAND, LO, band_geometry
+
+    band, lo = band_geometry(304, 0.02)           # bench short-read case
+    assert (band, lo) == (48, 16)
+    # widths within one 64-quantum share a geometry (no recompiles for
+    # 300 +- a few bp chunk widths)
+    assert band_geometry(290, 0.02) == band_geometry(320, 0.02)
+    # ONT rates fall back to the legacy full band
+    assert band_geometry(300, 0.1) == (BAND, LO)
+    # a real path needs d in [-drift, (width-qlen)+drift]
+    for q, ir in ((304, 0.02), (600, 0.02), (300, 0.05)):
+        b, l = band_geometry(q, ir)
+        drift = int(np.ceil(ir * q))
+        assert l >= drift, (q, ir, b, l)
+        assert b - l >= 1 + int(ir * q) + drift, (q, ir, b, l)
