@@ -76,7 +76,8 @@ def _write_chunk(fp_buf, pt_buf, fp_chunk, pt_chunk, row0):
     return fp_buf, pt_buf
 
 
-def build_fine_index_on_device(index: BucketIndex, row_chunk: int = 2048):
+def build_fine_index_on_device(index: BucketIndex, row_chunk: int = 2048,
+                               bp_dev=None):
     """Device-resident (fine_packed, fine_ptab, search_steps, low_bits)
     built from index.buckets_packed without any host fine tables.
 
@@ -102,15 +103,22 @@ def build_fine_index_on_device(index: BucketIndex, row_chunk: int = 2048):
     max_seg = 1
     for s in range(0, n, row_chunk):
         e = min(s + row_chunk, n)
-        rows = np.array(index.buckets_packed[s:e])  # memmap -> resident
         lens = lengths[s:e]
-        if e - s < row_chunk:   # pad the tail chunk (one compile)
-            pad = row_chunk - (e - s)
-            rows = np.pad(rows, ((0, pad), (0, 0)))
-            lens = np.pad(lens, (0, pad))
-        fpc, ptc, ms = _build_chunk(jnp.asarray(rows),
-                                    jnp.asarray(lens, jnp.int32), k, lb,
-                                    low_bits)
+        if e - s < row_chunk:
+            lens = np.pad(lens, (0, row_chunk - (e - s)))
+        if bp_dev is not None:
+            # rows already on device (shared upload with the occupancy
+            # build) — slice instead of re-transferring
+            rows = bp_dev[s:e]
+            if e - s < row_chunk:
+                rows = jnp.pad(rows, ((0, row_chunk - (e - s)), (0, 0)))
+        else:
+            rows = np.array(index.buckets_packed[s:e])  # memmap -> resident
+            if e - s < row_chunk:   # pad the tail chunk (one compile)
+                rows = np.pad(rows, ((0, row_chunk - (e - s)), (0, 0)))
+            rows = jnp.asarray(rows)
+        fpc, ptc, ms = _build_chunk(rows, jnp.asarray(lens, jnp.int32),
+                                    k, lb, low_bits)
         if e - s < row_chunk:
             fpc, ptc = fpc[: e - s], ptc[: e - s]
         fp, pt = _write_chunk(fp, pt, fpc, ptc, s)
@@ -191,3 +199,118 @@ def build_fine_index_on_device_sharded(bp, lengths, cfg, mesh,
     fp, pt, ms = fn(bp, lengths)
     steps = int(max(1, int(np.asarray(ms).max()))).bit_length()
     return fp, pt, steps, low_bits
+
+
+# ----------------------------------------------------------------------
+# On-device q-gram OCCUPANCY build (round 5): the coarse bit-matrix is,
+# like the fine tables, a pure function of buckets_packed — and its
+# host->device upload costs ~0.85 GB of permanently-retained host RSS
+# on the remote axon client (every transferred byte stays resident,
+# measured) plus the transfer time. Build it on the chip instead.
+#
+# Scatter-free formulation (TPU scatters serialize): per 32-bucket
+# GROUP (one u32 word column of the table, bucket_indexer.h:49-61
+# semantics), flatten (row = kmer_to_row[qgram_hash], lane = bucket%32)
+# into keys row*32+lane, lax.sort, mark first occurrences (dedup), map
+# each kept key to its lane bit 1<<lane, prefix-sum, and read each
+# row's word as S[bnd[row+1]] - S[bnd[row]] where bnd = searchsorted of
+# the row grid — distinct powers of two per segment make the sum an OR.
+# Bit-identical to the host build (tests/test_device_build.py).
+# ----------------------------------------------------------------------
+
+def _occ_chunk_impl(packed_rows, lengths_rows, k2r, q: int, lb: int,
+                    g_rows: int):
+    """One chunk of the device occupancy build.
+
+    packed_rows: (GC*32, Wb) u32; lengths_rows: (GC*32,) i32;
+    k2r: (4^q,) i32 FracMinHash row map (-1 = unsampled).
+    Returns (g_rows, GC) u32 word columns (groups in input order).
+    """
+    GC = packed_rows.shape[0] // 32
+    codes = unpack_2bit(packed_rows, lb, xp=jnp)
+    h = kmer_hashes(codes, q, xp=jnp)                     # (GC*32, lpos)
+    pos = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    row = k2r[h]                                          # (GC*32, lpos)
+    invalid = (pos > (lengths_rows[:, None] - q)) | (row < 0)
+    lane = (jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) % 32)
+    key = jnp.where(invalid, jnp.uint32(0xFFFFFFFF),
+                    (row.astype(jnp.uint32) << jnp.uint32(5))
+                    | lane.astype(jnp.uint32))
+    key = key.reshape(GC, -1)
+    sk = jax.lax.sort(key, dimension=1)
+    prev = jnp.concatenate(
+        [jnp.full((GC, 1), 0xFFFFFFFF, jnp.uint32), sk[:, :-1]], axis=1)
+    keep = (sk != prev) & (sk != jnp.uint32(0xFFFFFFFF))
+    vals = jnp.where(keep, jnp.uint32(1) << (sk & jnp.uint32(31)),
+                     jnp.uint32(0))
+    S = jnp.concatenate([jnp.zeros((GC, 1), jnp.uint32),
+                         jnp.cumsum(vals, axis=1)], axis=1)
+    grid = (jnp.arange(g_rows + 1, dtype=jnp.uint32) << jnp.uint32(5))
+    bnd = jax.vmap(lambda r: jnp.searchsorted(r, grid, side="left"))(sk)
+    words = (jnp.take_along_axis(S, bnd[:, 1:], axis=1)
+             - jnp.take_along_axis(S, bnd[:, :-1], axis=1))  # (GC, g_rows)
+    return words.T
+
+
+_occ_chunk = jax.jit(_occ_chunk_impl, static_argnums=(3, 4, 5))
+
+
+def build_occupancy_on_device(index: BucketIndex, width: int | None = None,
+                              groups_per_call: int = 8, bp_dev=None):
+    """Device-resident q-gram occupancy table (g_rows+1, width) u32 —
+    the coarse table the CoarseMapper would otherwise upload — built
+    from the device copy of buckets_packed. Sentinel row (all-ones,
+    builder.py:347) and column zero-padding to `width` included.
+    Returns the device array, or None when the shape is out of scope
+    (q > 10: the searchsorted grid would dominate).
+    """
+    cfg = index.config
+    q = cfg.index_seed
+    k2r_host = index.kmer_to_row
+    g_rows = index.qgram_words.shape[0] - 1
+    if q > 10 or g_rows <= 0:
+        return None
+    n = index.n_buckets
+    w = -(-n // 32)
+    wq = w if width is None else width
+    lb = index.buckets_packed.shape[1] * 16
+    lengths = np.asarray(index.bucket_lengths)
+    GC = groups_per_call
+    k2r = jnp.asarray(np.asarray(k2r_host))
+
+    if bp_dev is None:
+        from bucketmap_tpu.index.builder import slab_upload
+        bp_dev = slab_upload(index.buckets_packed)
+
+    buf = jnp.zeros((g_rows + 1, wq), jnp.uint32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def write(b, cols, c0, gc):
+        pad = jnp.zeros((1, gc), jnp.uint32)      # sentinel row, set later
+        return jax.lax.dynamic_update_slice(
+            b, jnp.concatenate([cols, pad], axis=0), (jnp.int32(0), c0))
+
+    rows_pad = GC * 32
+    for c0 in range(0, w, GC):
+        gc = min(GC, w - c0)
+        r0, r1 = c0 * 32, min((c0 + gc) * 32, n)
+        rows = jax.lax.dynamic_slice_in_dim(bp_dev, r0, min(rows_pad, bp_dev.shape[0] - r0), 0)
+        lens = lengths[r0:r1]
+        if rows.shape[0] < rows_pad:
+            rows = jnp.pad(rows, ((0, rows_pad - rows.shape[0]), (0, 0)))
+        if len(lens) < rows_pad:
+            lens = np.pad(lens, (0, rows_pad - len(lens)))
+        cols = _occ_chunk(rows, jnp.asarray(lens, jnp.int32), k2r, q, lb,
+                          g_rows)
+        if gc < GC:
+            cols = cols[:, :gc]
+        buf = write(buf, cols, jnp.int32(c0), gc)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def set_sentinel(b):
+        # ones over the REAL word columns only: padded columns stay zero
+        # in every row, exactly like the host np.pad path (phantom
+        # buckets must never gain presence through the sentinel)
+        return b.at[g_rows, :w].set(jnp.uint32(0xFFFFFFFF))
+
+    return jax.block_until_ready(set_sentinel(buf))

@@ -56,7 +56,24 @@ class DeviceMapper:
         self.fine = FineLocator(index)
         self.mesh = mesh
         self.data_axis, self.bucket_axis = data_axis, bucket_axis
-        self._maybe_build_fine_on_device()
+        bp_dev = None
+        if mesh is None:
+            # One genome upload feeds BOTH on-device builds (occupancy +
+            # fine): the remote client retains every uploaded byte, so
+            # re-uploading per consumer would triple the resident cost.
+            env = os.environ.get("BMTPU_DEVICE_OCC", "auto")
+            occ_want = env == "1" or (
+                env == "auto" and jax.default_backend() != "cpu"
+                and self.coarse._qgram_host.nbytes > (64 << 20))
+            if occ_want:
+                from bucketmap_tpu.index.builder import slab_upload
+                bp_dev = slab_upload(index.buckets_packed)
+                self.coarse._bp_dev = bp_dev
+                _ = self.coarse.qgram_words   # device occupancy build now
+                self.coarse._bp_dev = None
+                # reuse for the scan-path vote / aligner window gathers
+                self.fine.buckets_packed = bp_dev
+        self._maybe_build_fine_on_device(bp_dev)
         if self.fine.has("fine_packed"):
             self._vote_path = "packed"
         elif self.fine.has("fine_ptab"):
@@ -107,11 +124,13 @@ class DeviceMapper:
         return cap
 
     # ------------------------------------------------------------------
-    def _maybe_build_fine_on_device(self):
+    def _maybe_build_fine_on_device(self, bp_dev=None):
         """Construct the fine tables ON the device from buckets_packed
         instead of uploading multi-GB host arrays through the link
         (index/device_build.py). Default on for single-device non-CPU
-        backends; BMTPU_DEVICE_FINE=1/0 forces/disables."""
+        backends; BMTPU_DEVICE_FINE=1/0 forces/disables. bp_dev: an
+        existing device copy of buckets_packed to slice from (shared
+        with the occupancy build) instead of per-chunk uploads."""
         env = os.environ.get("BMTPU_DEVICE_FINE", "auto")
         if env == "0" or self.mesh is not None:
             return
@@ -134,7 +153,7 @@ class DeviceMapper:
             if est_bytes < (64 << 20):
                 return
         from bucketmap_tpu.index.device_build import build_fine_index_on_device
-        built = build_fine_index_on_device(self.index)
+        built = build_fine_index_on_device(self.index, bp_dev=bp_dev)
         if built is None:
             return
         fp, pt, steps, low_bits = built

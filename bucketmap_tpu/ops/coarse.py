@@ -437,6 +437,7 @@ class CoarseMapper:
         # version before first use (device_pipeline.DeviceMapper)
         self._qgram_host = index.qgram_words
         self._qgram_dev = None
+        self._index = index      # for the on-device occupancy build
         # -1 (unsampled q-gram) -> sentinel all-ones row / zeros==-1
         k2r = index.kmer_to_row.astype(np.int32)
         self.kmer_to_row = jnp.asarray(np.where(k2r < 0, g, k2r))
@@ -480,6 +481,8 @@ class CoarseMapper:
     @property
     def qgram_words(self):
         if self._qgram_dev is None:
+            import jax as _jax
+
             from bucketmap_tpu.index.builder import slab_upload
             qw = self._qgram_host
             w = qw.shape[1]
@@ -493,7 +496,23 @@ class CoarseMapper:
                 wq = -(-w // 1024) * 1024
             else:
                 wq = w
-            self._qgram_dev = slab_upload(qw, width=wq)
+            # BMTPU_DEVICE_OCC=1|auto: rebuild the occupancy table ON
+            # the chip from buckets_packed (bit-identical, verified)
+            # instead of uploading it — the remote client permanently
+            # retains every uploaded byte (~0.85 GB here), and the
+            # device build rides the genome upload the fine stage
+            # needs anyway
+            env = os.environ.get("BMTPU_DEVICE_OCC", "auto")
+            want = env == "1" or (env == "auto"
+                                  and _jax.default_backend() != "cpu")
+            if want:
+                from bucketmap_tpu.index.device_build import \
+                    build_occupancy_on_device
+                self._qgram_dev = build_occupancy_on_device(
+                    self._index, width=wq,
+                    bp_dev=getattr(self, "_bp_dev", None))
+            if self._qgram_dev is None:
+                self._qgram_dev = slab_upload(qw, width=wq)
         return self._qgram_dev
 
     @qgram_words.setter
