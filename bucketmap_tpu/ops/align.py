@@ -127,11 +127,12 @@ def _dp_fwd_pallas(textp_t, qcodes_t, qlen_row, width_row,
         row0 = jnp.where((j0 >= 0) & (j0 <= width), 0, NEG)
         dirs_ref[0] = jnp.zeros((band, PB), jnp.uint8)    # row 0 all stop
         negrow = jnp.full((1, PB), NEG, jnp.int32)
+        zrow = jnp.zeros((1, PB), jnp.int32)
         init_final = jnp.where(qlen == 0, row0,
                                jnp.full((band, PB), NEG, jnp.int32))
 
         def step(i, carry):
-            prev, final = carry
+            prev, prev_db, final = carry
             qchar = qcodes_ref[pl.ds(i - 1, 1), :]        # (1, PB)
             trow = textp_ref[pl.ds(i - 1, band), :]       # (band, PB)
             sub = jnp.where(trow == qchar, 0, -1)
@@ -149,11 +150,35 @@ def _dp_fwd_pallas(textp_t, qcodes_t, qlen_row, width_row,
             m = jnp.where(valid, m, NEG)
             dirs = jnp.where(m == diag, 1, jnp.where(m == up, 2, 3))
             dirs = jnp.where(valid & (m > NEG // 2), dirs, 0)
-            dirs_ref[pl.ds(i, 1)] = dirs.astype(jnp.uint8)[None]
+            # run lengths (capped 63) so the traceback can JUMP whole
+            # same-op chains: byte = dir | run << 2 (see _align_core
+            # tb_mode="runs"). diag chain predecessor = (i-1, d); up
+            # (I) = (i-1, d+1); left (D) = (i, d-1) — the D chain is
+            # intra-row, solved as distance-to-last-non-D via the same
+            # shift-max ladder as the cummax transform.
+            pd = prev_db & 3
+            pr = prev_db >> 2
+            run1 = jnp.minimum(jnp.where(pd == 1, pr, 0) + 1, 63)
+            pd_up = jnp.concatenate([pd[1:], zrow], axis=0)
+            pr_up = jnp.concatenate([pr[1:], zrow], axis=0)
+            run2 = jnp.minimum(jnp.where(pd_up == 2, pr_up, 0) + 1, 63)
+            last = jnp.where(dirs != 3, d_col, -1)
+            for k in shifts:
+                last = jnp.maximum(last, jnp.concatenate(
+                    [jnp.full((k, PB), -1, jnp.int32), last[:band - k]],
+                    axis=0))
+            run3 = jnp.minimum(d_col - last, 63)
+            run = jnp.where(dirs == 1, run1,
+                            jnp.where(dirs == 2, run2,
+                                      jnp.where(dirs == 3, run3, 0)))
+            db = jnp.where(dirs > 0, dirs | (run << 2), 0)
+            dirs_ref[pl.ds(i, 1)] = db.astype(jnp.uint8)[None]
             final = jnp.where(i == qlen, m, final)
-            return (m, final)
+            return (m, db, final)
 
-        _, final = jax.lax.fori_loop(1, Q + 1, step, (row0, init_final))
+        _, _, final = jax.lax.fori_loop(
+            1, Q + 1, step, (row0, jnp.zeros((band, PB), jnp.int32),
+                             init_final))
         final_ref[:] = final
 
     return pl.pallas_call(
@@ -246,11 +271,24 @@ class BandedAligner:
 
     # ------------------------------------------------------------------
     def _align_core(self, buckets_packed, qcodes, qlen, bucket_ids, offsets,
-                    is_rc, width):
+                    is_rc, width, tb_mode: str = "cell",
+                    wrap_star: bool = True):
         """qcodes (P, Q) int-like; qlen/offsets/width (P,) int32; is_rc (P,) bool.
 
-        Returns score (P,) int32, begin (P,) int32 (text begin position),
-        ops (P, Q + 2*lo) uint8 reversed traceback codes (0 = unused).
+        tb_mode "cell": returns score (P,) i32, begin (P,) i32 (text
+        begin position), ops (P, Q + 2*lo) uint8 reversed per-cell
+        traceback codes (0 = unused) — one scan step per DP cell on the
+        optimal path.
+        tb_mode "runs": the traceback JUMPS whole same-op chains using
+        the run lengths the forward pass stored in bits 2-7 of each
+        direction byte — T2 scan steps instead of Q + 2*lo (64 vs 364
+        at 300bp; a CIGAR is 1-3 runs, the per-cell scan was ~40% of
+        the align cycle). Returns (score, begin, run_op (P, T2),
+        run_len (P, T2), unterminated (P,) bool) in traceback order;
+        adjacent runs may share an op (63-cap chain splits) — merged by
+        the caller's RLE. wrap_star skips the traceback entirely for
+        score < -60 rows (their runs are zeroed anyway; a garbage row
+        would otherwise overflow T2 and force the sub-batch fallback).
         """
         P, Q = qcodes.shape
         band, lo = band_geometry(Q, self.cfg.indel_rate)
@@ -259,9 +297,21 @@ class BandedAligner:
                                      wmax).astype(jnp.int32)
         jcol = jnp.arange(wmax, dtype=jnp.int32)
         in_win = jcol[None, :] < width[:, None]
-        # reverse-complement the *window* for reverse-strand pairs
-        rc_idx = jnp.clip(width[:, None] - 1 - jcol[None, :], 0, wmax - 1)
-        text_rc = 3 - jnp.take_along_axis(text, rc_idx, axis=1)
+        # reverse-complement the *window* for reverse-strand pairs:
+        # text_rc[j] = 3 - text[width-1-j] = (3 - flip(text))[j + wmax -
+        # width], i.e. a static flip (cheap reverse op) plus a per-row
+        # LEFT shift by delta = wmax - width, done as log2(wmax) masked
+        # static shifts. The previous take_along_axis lowered to a
+        # general gather — measured 24 ms per 8192 pairs on v5e, ~50x
+        # this formulation.
+        text_rc = 3 - text[:, ::-1]
+        delta = (wmax - width).astype(jnp.int32)             # in [0, wmax]
+        k = 1
+        while k < wmax:
+            shifted = jnp.concatenate(
+                [text_rc[:, k:], jnp.full((P, k), 4, jnp.int32)], axis=1)
+            text_rc = jnp.where((delta & k)[:, None] != 0, shifted, text_rc)
+            k *= 2
         text = jnp.where(is_rc[:, None], text_rc, text)
         text = jnp.where(in_win, text, 4)                    # sentinel: never matches
 
@@ -274,7 +324,7 @@ class BandedAligner:
         row0 = jnp.where((j0 >= 0) & (j0 <= width[:, None]), 0, NEG)
 
         def step(carry, i):
-            prev, final_row = carry
+            prev, prev_db, final_row = carry
             qchar = qcodes[:, i - 1].astype(jnp.int32)       # (P,)
             trow = jax.lax.dynamic_slice_in_dim(textp, i - 1, band, axis=1)
             sub = jnp.where(trow == qchar[:, None], 0, -1)
@@ -287,10 +337,27 @@ class BandedAligner:
             j = i + d_idx[None, :] - lo
             valid = (j >= 0) & (j <= width[:, None])
             m = jnp.where(valid, m, NEG)
-            dirs = jnp.where(m == diag, 1, jnp.where(m == up, 2, 3)).astype(jnp.uint8)
+            dirs = jnp.where(m == diag, 1, jnp.where(m == up, 2, 3))
             dirs = jnp.where(valid & (m > NEG // 2), dirs, 0)
+            # byte = dir | run << 2 (same semantics as the Pallas
+            # kernel; see there for the chain definitions)
+            pd = prev_db & 3
+            pr = prev_db >> 2
+            run1 = jnp.minimum(jnp.where(pd == 1, pr, 0) + 1, 63)
+            pd_up = jnp.concatenate([pd[:, 1:], jnp.zeros((P, 1), jnp.int32)],
+                                    axis=1)
+            pr_up = jnp.concatenate([pr[:, 1:], jnp.zeros((P, 1), jnp.int32)],
+                                    axis=1)
+            run2 = jnp.minimum(jnp.where(pd_up == 2, pr_up, 0) + 1, 63)
+            last = jax.lax.cummax(
+                jnp.where(dirs != 3, d_idx[None, :], -1), axis=1)
+            run3 = jnp.minimum(d_idx[None, :] - last, 63)
+            run = jnp.where(dirs == 1, run1,
+                            jnp.where(dirs == 2, run2,
+                                      jnp.where(dirs == 3, run3, 0)))
+            db = jnp.where(dirs > 0, dirs | (run << 2), 0)
             final_row = jnp.where((i == qlen)[:, None], m, final_row)
-            return (m, final_row), dirs
+            return (m, db, final_row), db.astype(jnp.uint8)
 
         if self._dp_mode == "pallas":
             Pp = -(-P // 128) * 128                          # pad to block
@@ -302,27 +369,52 @@ class BandedAligner:
                 jnp.pad(width[None, :], pad, constant_values=1),
                 band=band, lo=lo, interpret=self._dp_interpret)
             final_row = final_t[:, :P].T                     # (P, band)
-            def get_dir(i, d):
-                return dirs_t[i, jnp.clip(d, 0, band - 1), jnp.arange(P)]
+            def get_byte(i, d):
+                return dirs_t[i, jnp.clip(d, 0, band - 1),
+                              jnp.arange(P)].astype(jnp.int32)
         else:
             init_final = jnp.where((qlen == 0)[:, None], row0,
                                    jnp.full((P, band), NEG))
-            (_, final_row), dirs = jax.lax.scan(
-                step, (row0, init_final), jnp.arange(1, Q + 1))
+            (_, _, final_row), dirs = jax.lax.scan(
+                step, (row0, jnp.zeros((P, band), jnp.int32), init_final),
+                jnp.arange(1, Q + 1))
             dirs = jnp.concatenate(
                 [jnp.zeros((1, P, band), jnp.uint8), dirs])  # row 0 all stop
-            def get_dir(i, d):
-                return dirs[i, jnp.arange(P), jnp.clip(d, 0, band - 1)]
+            def get_byte(i, d):
+                return dirs[i, jnp.arange(P),
+                            jnp.clip(d, 0, band - 1)].astype(jnp.int32)
 
         score = final_row.max(axis=1)
         # smallest j among co-optimal ends
         end_d = jnp.argmax(final_row, axis=1).astype(jnp.int32)
 
-        # traceback (device): build reversed op list. The scan is
-        # latency-bound (per-step dispatch of (P,) gathers), so 4 steps
-        # run per iteration and ops are EMITTED (scan ys) instead of
-        # scatter-carried — measured ~2.5x faster than the 1-step
-        # carried-buffer form at (8192, 364).
+        if tb_mode == "runs":
+            # run-jump traceback: each step consumes one whole same-op
+            # chain (runs capped at 63; longer chains land on another
+            # cell of the same chain and continue)
+            T2 = 192 if band >= BAND else 64
+            i0 = jnp.where(score < -60, 0, qlen) if wrap_star else qlen
+
+            def tbr_step(state, _):
+                i, d = state
+                b = get_byte(i, d)
+                active = i > 0
+                op = jnp.where(active, b & 3, 0)
+                run = jnp.where(active, b >> 2, 0)
+                i = jnp.where((op == 1) | (op == 2), i - run, i)
+                d = jnp.where(op == 2, d + run,
+                              jnp.where(op == 3, d - run, d))
+                return (i, d), jnp.stack([op, run])          # (2, P)
+
+            (fin_i, fin_d), ys = jax.lax.scan(
+                tbr_step, (i0, end_d), None, length=T2)
+            begin = fin_d - lo
+            return (score, begin, ys[:, 0].T, ys[:, 1].T, fin_i > 0)
+
+        # per-cell traceback (legacy, feeds the packed-ops format). The
+        # scan is latency-bound (per-step dispatch of (P,) gathers), so
+        # 4 steps run per iteration and ops are EMITTED (scan ys)
+        # instead of scatter-carried.
         max_ops = Q + 2 * lo
         UNROLL = 4
         n_iter = -(-max_ops // UNROLL)
@@ -331,7 +423,7 @@ class BandedAligner:
             i, d = state
             opl = []
             for _j in range(UNROLL):
-                cur = get_dir(i, d)
+                cur = get_byte(i, d) & 3
                 active = (i > 0)
                 op = jnp.where(active, cur, 0).astype(jnp.uint8)
                 opl.append(op)
@@ -378,7 +470,8 @@ class BandedAligner:
         DEVICE and only the runs ship. qpacked (P, W) uint32 carries the
         query codes 2-bit packed (4x smaller upload than the u8 matrix).
         Layout of the result vector:
-          [0] total_runs  [1] max_runs_in_any_row  [2] max_run_len  [3] 0
+          [0] total_runs  [1] max_runs_in_any_row  [2] max_run_len
+          [3] n_unterminated_tracebacks
           [4      : 4+P ]  score  (i32)
           [4+P    : 4+2P]  begin  (i32)
           [4+2P   : 4+3P]  n_runs (i32)
@@ -399,28 +492,26 @@ class BandedAligner:
         shifts = jnp.arange(16, dtype=jnp.uint32) * 2
         qcodes = ((qpacked[:, :, None] >> shifts[None, None, :])
                   & jnp.uint32(3)).reshape(P, Qp).astype(jnp.uint8)
-        score, begin, ops = self._align_core(
-            buckets_packed, qcodes, qlen, bucket_ids, offsets, is_rc, width)
+        # run-jump traceback (tb_mode="runs"): emits (op, len) per
+        # same-op chain in traceback order — T2 (= 64/192) columns
+        # instead of Q + 2*lo per-cell steps. Wrap-kept rows (score <
+        # -60, the reproduced size_t-wrap quirk, bucket_locator.h:571)
+        # skip the traceback entirely under wrap_star: their CIGARs are
+        # meaningless garbage with ~50-180 runs and the SAM prints '*'
+        # (PARITY.md DIVERGENCES).
+        score, begin, t_op, t_len, unterm = self._align_core(
+            buckets_packed, qcodes, qlen, bucket_ids, offsets, is_rc, width,
+            tb_mode="runs", wrap_star=wrap_star)
 
-        T = ops.shape[1]
-        MR = self.MAX_ROW_RUNS
+        T = t_op.shape[1]
+        MR = min(self.MAX_ROW_RUNS, T)
         col = jnp.arange(T, dtype=jnp.int32)[None, :]
-        # query-order codes with zeros skipped ANYWHERE (ops_to_cigar
-        # semantics)
-        codes = ops[:, ::-1].astype(jnp.int32)
+        # query order = reversed traceback order; chain splits (63-cap)
+        # leave adjacent same-op entries — merge them with the same
+        # masked-reduction RLE as before, now weighted by chain length
+        codes = t_op[:, ::-1].astype(jnp.int32)
+        weights = t_len[:, ::-1].astype(jnp.int32)
         nz = codes != 0
-        # Wrap-kept records (score < -60, the reproduced size_t-wrap
-        # quirk, bucket_locator.h:571) are garbage alignments whose
-        # tracebacks carry ~50-180 runs each — they would blow the run
-        # budget on every sub-batch and their CIGARs are meaningless.
-        # Zero their runs on device; the SAM emits '*' for them
-        # (PARITY.md DIVERGENCES). Short-read path only (wrap_star).
-        if wrap_star:
-            nz = nz & (score >= -60)[:, None]
-        # A nonzero position starts a run iff the previous NONZERO code
-        # (zeros skipped) differs. prev-nonzero via an exclusive cummax
-        # of the strictly increasing key col*4+code — no compaction
-        # scatter (TPU scatters serialize; fused masked reductions fly).
         key = jnp.where(nz, col * 4 + codes, -1)
         prev_key = jax.lax.cummax(
             jnp.pad(key[:, :-1], ((0, 0), (1, 0)), constant_values=-1),
@@ -433,10 +524,12 @@ class BandedAligner:
         # — XLA fuses the one-hot into the sums, nothing materializes
         ridx = jnp.arange(MR, dtype=jnp.int32)[None, :]
         oh = nz[:, :, None] & (run_id[:, :, None] == ridx[:, None, :])
-        rlen = jnp.sum(oh, axis=1, dtype=jnp.int32)              # (P, MR)
+        rlen = jnp.sum(jnp.where(oh, weights[:, :, None], 0), axis=1,
+                       dtype=jnp.int32)                          # (P, MR)
+        cnt = jnp.sum(oh, axis=1, dtype=jnp.int32)
         ropsum = jnp.sum(jnp.where(oh, codes[:, :, None], 0), axis=1,
                          dtype=jnp.int32)
-        rop = ropsum // jnp.maximum(rlen, 1)                     # constant/run
+        rop = ropsum // jnp.maximum(cnt, 1)                      # constant/run
         valid_run = ridx < jnp.minimum(n_runs, MR)[:, None]
         max_rlen = jnp.where(valid_run, rlen, 0).max()  # >16383 ⇒ fallback
         run16 = jnp.where(valid_run, (rlen << 2) | rop, 0).astype(jnp.uint32)
@@ -448,7 +541,11 @@ class BandedAligner:
             tgt.reshape(-1)].set(run16.reshape(-1), mode="drop")[:run_cap]
         flat2 = flat.reshape(run_cap // 2, 2)
         runs_w = flat2[:, 0] | (flat2[:, 1] << jnp.uint32(16))
-        hdr = jnp.stack([goff[-1], n_runs.max(), max_rlen, jnp.int32(0)])
+        # [3] counts rows whose traceback did not terminate within T2
+        # run-jumps (> T2 runs, e.g. dense-indel garbage with
+        # wrap_star=False): the consumer falls back to packed ops
+        hdr = jnp.stack([goff[-1], n_runs.max(), max_rlen,
+                         unterm.sum(dtype=jnp.int32)])
         return jnp.concatenate([
             hdr, score, begin,
             n_runs, jax.lax.bitcast_convert_type(runs_w, jnp.int32)])
@@ -571,9 +668,11 @@ class BandedAligner:
             nr_all = vec[4 + 2 * pb: 4 + 3 * pb]
             cap = (len(vec) - 4 - 3 * pb) * 2
             # vec[2] = longest run: > 16383 overflows the uint16 length
-            # field (length << 2 | op) and would corrupt silently
+            # field (length << 2 | op) and would corrupt silently.
+            # vec[3] = tracebacks that did not finish within the
+            # run-jump budget (see _align_core tb_mode="runs")
             if total > cap or max_row > self.MAX_ROW_RUNS \
-                    or int(vec[2]) > 16383:
+                    or int(vec[2]) > 16383 or int(vec[3]) > 0:
                 # rare: dense-indel sub-batch; redo via packed ops
                 sc, bg, pk = self._ops_rerun(qcodes, qlen, bucket_ids,
                                              offsets, is_rc, s, e)

@@ -77,3 +77,53 @@ for trial in range(3):
     dt = time.perf_counter() - t0
     print(f"runs-mode: {N / dt:.0f} pairs/s ({dt*1000*PB/N:.1f} ms per "
           f"{PB}-pair sub-batch, {got['n']} consumed)", flush=True)
+
+# ---- decomposition: DP-only / +traceback / +runs / +download ----------
+import jax
+import jax.numpy as jnp
+from bucketmap_tpu.ops.align import pack_qcodes
+
+blen2 = np.asarray(index.bucket_lengths)
+width = np.minimum(qlen + 1 + (cfg.indel_rate * qlen).astype(np.int64),
+                   blen2[bids] - offs).astype(np.int32)
+P = PB
+a_np = (qcodes[:P], qlen[:P].astype(np.int32), bids[:P], offs[:P],
+        np.zeros(P, bool), width[:P])
+jargs = tuple(jnp.asarray(a) for a in a_np)
+qp = jnp.asarray(pack_qcodes(a_np[0]))
+rcap = -(-8 * P // 2) * 2
+
+
+def dp_only(bp, qc, ql, bi, of, rc, wd):
+    sc, bg, ops = al._align_core(bp, qc, ql, bi, of, rc, wd)
+    return sc                 # XLA prunes the unused traceback scan
+
+
+def dp_tb(bp, qc, ql, bi, of, rc, wd):
+    sc, bg, ops = al._align_core(bp, qc, ql, bi, of, rc, wd)
+    return sc, bg, ops.sum(dtype=jnp.int32)
+
+
+jdp = jax.jit(dp_only)
+jtb = jax.jit(dp_tb)
+variants = (
+    ("dp-only", lambda: jdp(al.buckets_packed, *jargs)),
+    ("dp+traceback", lambda: jtb(al.buckets_packed, *jargs)),
+    ("runs vec (no download)", lambda: al._align_runs(
+        al.buckets_packed, qp, *jargs[1:], run_cap=rcap)),
+)
+for name, fn in variants:
+    jax.block_until_ready(fn())           # compile
+    t0 = time.perf_counter()
+    for _ in range(4):
+        jax.block_until_ready(fn())
+    print(f"{name}: {(time.perf_counter()-t0)/4*1000:.1f} ms / {P} pairs",
+          flush=True)
+out = al._align_runs(al.buckets_packed, qp, *jargs[1:], run_cap=rcap)
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+for _ in range(4):
+    np.asarray(jax.device_get(al._align_runs(
+        al.buckets_packed, qp, *jargs[1:], run_cap=rcap)))
+print(f"runs vec + download: {(time.perf_counter()-t0)/4*1000:.1f} ms",
+      flush=True)
