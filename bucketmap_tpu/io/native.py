@@ -109,10 +109,20 @@ def parse_fastq_bytes(data: bytes, max_len: int | None = None):
     qual_ascii = np.zeros((n, L), np.uint8)
     lengths = np.zeros(n, np.int32)
     id_offsets = np.zeros(n + 1, np.int64)
-    ids_buf = np.zeros(len(data), np.uint8)
+    # names are typically ~8-30 bytes; a len(data)-sized buffer added
+    # ~100 MB/chunk of transient RSS to the streamed path. Start small;
+    # the C side returns -1 on capacity overflow (bmtpu_io.cpp:81) and
+    # one retry at full size covers pathological name lengths.
+    ids_cap = min(len(data), max(1 << 20, n * 64))
+    ids_buf = np.zeros(ids_cap, np.uint8)
     r = lib.bmtpu_fastq_parse(data, len(data), L, codes, quals, seq_ascii,
                               qual_ascii, lengths, id_offsets, ids_buf,
                               len(ids_buf))
+    if r < 0 and ids_cap < len(data):
+        ids_buf = np.zeros(len(data), np.uint8)
+        r = lib.bmtpu_fastq_parse(data, len(data), L, codes, quals,
+                                  seq_ascii, qual_ascii, lengths,
+                                  id_offsets, ids_buf, len(ids_buf))
     if r < 0:
         raise ValueError("malformed FASTQ (native parser, pass 2)")
     return (ids_buf[:r].copy(), id_offsets, codes, quals, lengths,

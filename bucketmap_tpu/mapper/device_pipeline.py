@@ -74,6 +74,25 @@ class DeviceMapper:
                 # reuse for the scan-path vote / aligner window gathers
                 self.fine.buckets_packed = bp_dev
         self._maybe_build_fine_on_device(bp_dev)
+        if bp_dev is not None and self.fine.has("fine_packed"):
+            # the packed vote path never touches bucket rows — pinning
+            # this 0.43 GB (1.7 Gbp) next to the fine tables OOMs
+            # B=16384 on one v5e. Back to lazy: the aligner re-uploads
+            # on first use in align mode only.
+            self.fine._dev.pop("buckets_packed", None)
+            del bp_dev
+        # the genome artifact's file-backed pages (0.43 GB at 1.7 Gbp)
+        # were touched by the device builds and stay counted in RSS;
+        # nothing host-side reads them again on the packed path — drop
+        # them (a later lazy access transparently re-pages)
+        bph = self.index.buckets_packed
+        if isinstance(bph, np.memmap):
+            try:
+                import mmap
+
+                bph._mmap.madvise(mmap.MADV_DONTNEED)
+            except (AttributeError, ValueError, OSError):
+                pass
         if self.fine.has("fine_packed"):
             self._vote_path = "packed"
         elif self.fine.has("fine_ptab"):

@@ -64,6 +64,16 @@ def test_resource_report():
     r = resource_report()
     assert r["peak_host_rss_kb"] > 1000  # a python process is >1 MB
     assert set(r) == {"peak_host_rss_kb", "device_hbm_peak_bytes",
-                      "device_hbm_limit_bytes"}
+                      "device_hbm_peak_source", "device_hbm_limit_bytes"}
     hbm = r["device_hbm_peak_bytes"]
     assert hbm is None or hbm > 0
+    assert r["device_hbm_peak_source"] in (None, "memory_stats",
+                                           "live_arrays")
+    # the live-array watermark fallback engages after a sample
+    from bucketmap_tpu.utils.debug import hbm_sample
+    import jax.numpy as jnp
+    x = jnp.ones((128, 128))
+    now = hbm_sample()
+    assert now >= x.nbytes
+    r2 = resource_report()
+    assert r2["device_hbm_peak_bytes"] is not None
