@@ -243,31 +243,75 @@ class BandedAligner:
     @buckets_packed.setter
     def buckets_packed(self, v):
         self._bp_dev = v
+        self._bp_tiles = None
+
+    _NT_PAD = 4   # zero sub-tiles appended so t0+i never needs clipping
+
+    @property
+    def buckets_tiled(self):
+        """(N, T, 128) zero-padded sub-tile view of buckets_packed.
+
+        The window extraction gathers whole 128-word sub-tile rows from
+        this view — the row-granular gather XLA lowers efficiently —
+        instead of (P, 24) element-granular windows, which it lowers to
+        per-element gathers (measured 14 ms per 8192 pairs, ~10x this
+        path + shifts).
+        """
+        if getattr(self, "_bp_tiles", None) is None:
+            bp = self.buckets_packed
+            wb = bp.shape[1]
+            T = -(-wb // 128) + self._NT_PAD
+
+            @jax.jit
+            def tile(a):
+                return jnp.pad(
+                    a, ((0, 0), (0, T * 128 - wb))).reshape(a.shape[0], T,
+                                                            128)
+
+            self._bp_tiles = jax.block_until_ready(tile(bp))
+        return self._bp_tiles
 
     # ------------------------------------------------------------------
-    def _extract_windows(self, buckets_packed, bucket_ids, offsets, wmax: int):
-        """Gather text windows (P, wmax) of base codes from packed buckets.
+    def _extract_windows(self, tiles, bucket_ids, offsets, wmax: int):
+        """Gather text windows (P, wmax) of base codes from the tiled
+        packed buckets (buckets_tiled).
 
-        Only the needed word range is sliced per pair (not the whole
-        bucket). Positions beyond the bucket read as code 0; callers mask
-        by width.
+        Per pair: nt whole-sub-tile row gathers covering the window,
+        then a word-level log-shift (7 masked static shifts) and a
+        base-level log-shift replace the element-granular gather +
+        per-row dynamic_slice. Positions beyond the bucket read as code
+        0; callers mask by width.
         """
+        P = bucket_ids.shape[0]
         words_needed = wmax // 16 + 2
-        wb = buckets_packed.shape[1]
-        word0 = jnp.clip(jnp.clip(offsets, 0, None) // 16, 0, wb - words_needed)
-        # direct (P, words_needed) gather — a whole-bucket row gather
-        # followed by per-row dynamic_slice would move ~16 KB/pair of
-        # HBM for ~440 B of window
-        cols = word0[:, None] + jnp.arange(words_needed, dtype=jnp.int32)[None, :]
-        win_words = buckets_packed[bucket_ids[:, None], cols]
+        wb = self._bp_host.shape[1]
+        nt = min((words_needed + 127) // 128 + 1, tiles.shape[1])
+        word0 = jnp.clip(jnp.clip(offsets, 0, None) // 16, 0,
+                         max(0, wb - words_needed))
+        t0 = word0 // 128
+        parts = [tiles[bucket_ids, t0 + i] for i in range(nt)]
+        words = jnp.concatenate(parts, axis=1)           # (P, nt*128)
+        s = word0 - t0 * 128                             # in [0, 128)
+        k = 1
+        while k < 128:
+            shifted = jnp.concatenate(
+                [words[:, k:], jnp.zeros((P, k), words.dtype)], axis=1)
+            words = jnp.where((s & k)[:, None] != 0, shifted, words)
+            k *= 2
+        win_words = words[:, :words_needed]
         shifts = jnp.arange(16, dtype=jnp.uint32) * 2
         bases = (win_words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
-        flat = bases.reshape(bases.shape[0], -1)             # (P, 16*words_needed)
-        start = jnp.clip(offsets, 0, None) - word0 * 16      # in [0, 16)
-
-        def shift_row(row, s):
-            return jax.lax.dynamic_slice(row, (s,), (wmax,))
-        return jax.vmap(shift_row)(flat, start)
+        flat = bases.reshape(P, -1).astype(jnp.int32)    # (P, 16*wn)
+        # residual base shift; matches the old dynamic_slice's clamping
+        start = jnp.clip(jnp.clip(offsets, 0, None) - word0 * 16, 0,
+                         16 * words_needed - wmax)
+        k = 1
+        while k < 16 * words_needed:
+            shifted = jnp.concatenate(
+                [flat[:, k:], jnp.zeros((P, k), flat.dtype)], axis=1)
+            flat = jnp.where((start & k)[:, None] != 0, shifted, flat)
+            k *= 2
+        return flat[:, :wmax]
 
     # ------------------------------------------------------------------
     def _align_core(self, buckets_packed, qcodes, qlen, bucket_ids, offsets,
@@ -601,11 +645,11 @@ class BandedAligner:
                     jnp.asarray(_p_range(s, e, width, 1)))
             if mode == "runs":
                 out = self._align_runs(
-                    self.buckets_packed,
+                    self.buckets_tiled,
                     jnp.asarray(pack_qcodes(_p_range(s, e, qcodes))),
                     *args, run_cap=run_cap, wrap_star=wrap_star)
             else:
-                out = self._align(self.buckets_packed,
+                out = self._align(self.buckets_tiled,
                                   jnp.asarray(_p_range(s, e, qcodes)), *args)
             pending.append((s, e, out))
 
@@ -642,7 +686,7 @@ class BandedAligner:
             return a
 
         sc, bg, packed = self._align(
-            self.buckets_packed, jnp.asarray(_p(qcodes)),
+            self.buckets_tiled, jnp.asarray(_p(qcodes)),
             jnp.asarray(_p(qlen, 1), dtype=jnp.int32),
             jnp.asarray(_p(bucket_ids)), jnp.asarray(_p(offsets)),
             jnp.asarray(_p(is_rc)), jnp.asarray(_p(width, 1)))
