@@ -151,7 +151,8 @@ def parse_fastq(data: bytes, max_len: int | None = None,
 def iter_fastq_batches(path: str | os.PathLike,
                        reads_per_batch: int = 131072,
                        max_len: int | None = None,
-                       use_native: bool = True):
+                       use_native: bool = True,
+                       bytes_per_batch: int = 128 << 20):
     """Stream a FASTQ as ReadBatch chunks of `reads_per_batch` reads
     (the last one smaller), holding ~one chunk of file bytes at a time.
 
@@ -165,10 +166,17 @@ def iter_fastq_batches(path: str | os.PathLike,
     Record boundaries: a FASTQ record is exactly 4 lines, so the cut
     point after k complete records is the byte after the 4k-th newline —
     found with one numpy newline scan per accumulated block run.
+
+    `bytes_per_batch` also caps a chunk's FILE bytes, so long-read files
+    (7.5 kb+ records) chunk by volume instead of record count — a 100k
+    x 7.5 kb file as one "chunk" would both blow host RSS (4 dense
+    (n, max_len) matrices) and serialize its whole parse ahead of
+    mapping.
     """
     target_nl = 4 * reads_per_batch
     pending: list[bytes] = []
     pending_nl = 0
+    pending_bytes = 0
     with open(path, "rb") as f:
         while True:
             block = f.read(64 << 20)
@@ -176,16 +184,21 @@ def iter_fastq_batches(path: str | os.PathLike,
                 break
             pending.append(block)
             pending_nl += block.count(b"\n")
-            while pending_nl >= target_nl:
+            pending_bytes += len(block)
+            while (pending_nl >= target_nl
+                   or (pending_bytes >= bytes_per_batch
+                       and pending_nl >= 4)):
                 data = b"".join(pending)
                 nl = np.flatnonzero(
                     np.frombuffer(data, dtype=np.uint8) == ord("\n"))
-                cut = int(nl[target_nl - 1]) + 1
+                k = min(reads_per_batch, len(nl) // 4)
+                cut = int(nl[4 * k - 1]) + 1
                 yield parse_fastq(data[:cut], max_len=max_len,
                                   use_native=use_native)
                 tail = data[cut:]
                 pending = [tail] if tail else []
-                pending_nl = len(nl) - target_nl
+                pending_nl = len(nl) - 4 * k
+                pending_bytes = len(tail)
     if pending:
         data = b"".join(pending)
         if data.strip():

@@ -226,3 +226,34 @@ def test_band_geometry():
         drift = int(np.ceil(ir * q))
         assert l >= drift, (q, ir, b, l)
         assert b - l >= 1 + int(ir * q) + drift, (q, ir, b, l)
+
+
+def test_extract_windows_edges(world):
+    """Tiled-gather window extraction vs a direct numpy oracle at bucket
+    starts, ends (word0 clamped), and unaligned offsets."""
+    import jax.numpy as jnp
+
+    from bucketmap_tpu.ops.align import BandedAligner
+
+    _, idx = world
+    al = BandedAligner(idx, pair_batch=16)
+    wb = idx.buckets_packed.shape[1]
+    lb = wb * 16
+    wmax = 352
+    offs = np.array([0, 1, 15, 16, 17, 127, 128, 4093,
+                     lb - wmax, lb - wmax + 5, lb - 40, lb - 1],
+                    np.int32)
+    bids = np.arange(len(offs), dtype=np.int32) % idx.n_buckets
+    got = np.asarray(al._extract_windows(
+        al.buckets_tiled, jnp.asarray(bids), jnp.asarray(offs), wmax))
+
+    bp = np.asarray(idx.buckets_packed)
+    shifts = np.arange(16, dtype=np.uint32) * 2
+    allb = ((bp[:, :, None] >> shifts[None, None, :]) & 3).reshape(
+        idx.n_buckets, -1).astype(np.int32)
+    wn = wmax // 16 + 2
+    for i, (b, o) in enumerate(zip(bids, offs)):
+        w0 = min(max(0, o // 16), wb - wn)
+        s = min(max(0, o - w0 * 16), 16 * wn - wmax)
+        exp = allb[b, w0 * 16 + s: w0 * 16 + s + wmax]
+        np.testing.assert_array_equal(got[i], exp, err_msg=f"off={o}")
