@@ -71,7 +71,13 @@ _build_chunk = jax.jit(_build_chunk_impl, static_argnums=(2, 3, 4))
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _write_chunk(fp_buf, pt_buf, fp_chunk, pt_chunk, row0):
-    fp_buf = jax.lax.dynamic_update_slice(fp_buf, fp_chunk, (row0, 0))
+    # fp_buf is tiled 3-D (n, T, 128); pad+retile the (R, lpos) chunk
+    # (a small copy — the table itself is never reshaped)
+    R = fp_chunk.shape[0]
+    Tp = fp_buf.shape[1]
+    fp3 = jnp.pad(fp_chunk, ((0, 0), (0, Tp * 128 - fp_chunk.shape[1])),
+                  constant_values=np.uint32(0xFFFFFFFF)).reshape(R, Tp, 128)
+    fp_buf = jax.lax.dynamic_update_slice(fp_buf, fp3, (row0, 0, 0))
     pt_buf = jax.lax.dynamic_update_slice(pt_buf, pt_chunk, (row0, 0))
     return fp_buf, pt_buf
 
@@ -98,7 +104,13 @@ def build_fine_index_on_device(index: BucketIndex, row_chunk: int = 2048,
         return None
 
     lengths = np.asarray(index.bucket_lengths)
-    fp = jnp.full((n, lpos), jnp.uint32(0xFFFFFFFF))
+    # stored 3-D (n, T, 128): whole 128-lane sub-tiles + 2 spare, so the
+    # vote's hybrid search fetches 3 consecutive sub-tile rows per
+    # sample with NO reshape (a 2-D->3-D reshape at query time re-tiles
+    # the layout = a 6.4 GB copy, an instant OOM); sentinel fill =
+    # invalid slots
+    Tp = -(-(-(-lpos // 128) + 2) // 8) * 8   # mult of 8: (n*Tp, 128)
+    fp = jnp.full((n, Tp, 128), jnp.uint32(0xFFFFFFFF))
     pt = jnp.full((n, 4097), jnp.int32(lpos))
     max_seg = 1
     for s in range(0, n, row_chunk):
@@ -168,13 +180,18 @@ def build_fine_index_on_device_sharded(bp, lengths, cfg, mesh,
         # 2x the 6.8 GB table, an OOM on a real 16 GB chip.
         n_chunks = bp_l.shape[0] // cr
 
+        Tp = -(-(-(-lpos // 128) + 2) // 8) * 8  # see single-device build
+
         def it(i, carry):
             fp, pt, ms = carry
             s = i * cr
             rows = jax.lax.dynamic_slice_in_dim(bp_l, s, cr, 0)
             lens = jax.lax.dynamic_slice_in_dim(lens_l, s, cr, 0)
             fpc, ptc, m2 = _build_chunk_impl(rows, lens, k, lb, low_bits)
-            fp = jax.lax.dynamic_update_slice(fp, fpc, (s, 0))
+            fp3 = jnp.pad(fpc, ((0, 0), (0, Tp * 128 - fpc.shape[1])),
+                          constant_values=np.uint32(0xFFFFFFFF)
+                          ).reshape(cr, Tp, 128)
+            fp = jax.lax.dynamic_update_slice(fp, fp3, (s, 0, 0))
             pt = jax.lax.dynamic_update_slice(pt, ptc, (s, 0))
             return fp, pt, jnp.maximum(ms, m2)
 
@@ -182,7 +199,7 @@ def build_fine_index_on_device_sharded(bp, lengths, cfg, mesh,
         # explicitly so shard_map's varying-manual-axes check (check_vma,
         # on by default) stays enabled for the whole body
         fp0 = jax.lax.pcast(
-            jnp.full((bp_l.shape[0], lpos), jnp.uint32(0xFFFFFFFF)),
+            jnp.full((bp_l.shape[0], Tp, 128), jnp.uint32(0xFFFFFFFF)),
             bucket_axis, to="varying")
         pt0 = jax.lax.pcast(
             jnp.full((bp_l.shape[0], 4097), jnp.int32(lpos)),
@@ -194,7 +211,7 @@ def build_fine_index_on_device_sharded(bp, lengths, cfg, mesh,
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(bucket_axis, None), P(bucket_axis)),
-        out_specs=(P(bucket_axis, None), P(bucket_axis, None),
+        out_specs=(P(bucket_axis, None, None), P(bucket_axis, None),
                    P(bucket_axis))))
     fp, pt, ms = fn(bp, lengths)
     steps = int(max(1, int(np.asarray(ms).max()))).bit_length()

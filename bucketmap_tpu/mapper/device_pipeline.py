@@ -280,7 +280,11 @@ class DeviceMapper:
                     self._vote_path = "packed"
 
         vote_specs = {
-            "packed": (P(ba, None), P(ba, None)),
+            # fine_packed is 3-D tile-stored when device-built (the
+            # hybrid-search layout), 2-D when uploaded from a host build
+            "packed": (P(ba, None),
+                       P(ba, *([None] * (self.fine.fine_packed.ndim - 1)))
+                       if self.fine.has("fine_packed") else P(ba, None)),
             "prefix": (P(ba, None), P(ba, None), P(ba, None)),
             "sorted": (P(ba, None), P(ba, None)),
             "scan": (P(ba, None), P(ba)),

@@ -31,7 +31,15 @@ def test_device_build_matches_host():
     built = build_fine_index_on_device(index, row_chunk=4)  # force tail chunk
     assert built is not None
     fp, pt, steps, low_bits = built
-    np.testing.assert_array_equal(np.asarray(fp), host.fine_packed)
+    # device fp is tile-stored 3-D (n, T, 128) with sentinel-filled
+    # column padding for the hybrid vote search; real columns are
+    # bit-identical to the host build
+    lpos = host.fine_packed.shape[1]
+    assert fp.ndim == 3 and fp.shape[2] == 128
+    flat = np.asarray(fp).reshape(fp.shape[0], -1)
+    assert flat.shape[1] >= lpos
+    np.testing.assert_array_equal(flat[:, :lpos], host.fine_packed)
+    assert (flat[:, lpos:] == 0xFFFFFFFF).all()
     np.testing.assert_array_equal(np.asarray(pt), host.fine_ptab)
     assert steps == host.fine_search_steps
     assert low_bits == host.fine_low_bits
@@ -44,7 +52,9 @@ def test_device_build_respects_bucket_tail_lengths():
     builder.build_fine_index(host)
     built = build_fine_index_on_device(index, row_chunk=3)
     fp, pt, steps, low_bits = built
-    np.testing.assert_array_equal(np.asarray(fp), host.fine_packed)
+    lpos = host.fine_packed.shape[1]
+    flat = np.asarray(fp).reshape(fp.shape[0], -1)
+    np.testing.assert_array_equal(flat[:, :lpos], host.fine_packed)
     np.testing.assert_array_equal(np.asarray(pt), host.fine_ptab)
     assert steps == host.fine_search_steps
 
