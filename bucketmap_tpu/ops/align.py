@@ -7,15 +7,19 @@ gaps on sequence1 (the reference-window text) only, edit scheme
 text, and a CIGAR (M/I/D, as seqan3::cigar_from_alignment emits).
 
 TPU-native formulation: batched banded DP over pairs. Rows = query
-positions (sequential scan), band = 128 diagonals (j - i in [-32, 96)),
+positions (sequential scan), band = workload-sized diagonals
+(band_geometry: 48 for 300bp at 2% indels, legacy 128 for ONT rates),
 all pairs advance together on the VPU. The intra-row dependency of the
 left (text-gap) move is solved in closed form with a cummax transform:
 
     new[d] = max(base[d], new[d-1] - 1)
            = cummax(base[d] + d) - d          (max-plus prefix scan)
 
-Direction codes are stored per cell (uint8, 2 bits used) and traced
-back on device; the host only run-length-encodes the op strings.
+Each cell stores one byte: direction (2 bits) plus the length of the
+same-op chain ending there (6 bits), so the device traceback JUMPS
+whole chains — emitting CIGAR runs directly in ~T2=64 scan steps
+instead of one step per DP cell (tb_mode="runs"); only the merged runs
+ship to the host.
 
 Window semantics match the reference: text = bucket[offset : offset +
 min(qlen + 1 + trunc(indel_rate*qlen), blen - offset)]; for reverse-
