@@ -654,26 +654,34 @@ class CoarseMapper:
         B, _, n_planes, nc = planes.shape
         at_max = max_hits[..., None]                              # (B,2,1)
 
+        # dense per-bucket "count == gmax" flags, ONE u32 word per
+        # chunk: bucket bit set iff every plane bit matches gmax's bit
+        # (XNOR-AND over the packed counters — counts fit n_planes bits
+        # exactly, n_planes = s.bit_length()). This replaces gathering
+        # n_planes counter words per chosen chunk (4.9M element-granular
+        # gathers at production shape) with a cheap dense pass + ONE
+        # word gather per chunk below.
+        eq = None
+        for j in range(n_planes):
+            gb = ((max_hits >> j) & 1)[..., None]                 # (B,2,1)
+            pj = planes[:, :, j]
+            term = jnp.where(gb == 1, pj, ~pj)
+            eq = term if eq is None else (eq & term)
+
         # level 1: chunks containing an at-max bucket, ascending
         chunk_has = (chunk_max == at_max) & live[..., None]
         kc = min(C, nc)
         cidx, cvalid = _first_set_indices(chunk_has, kc)          # (B,2,kc)
 
-        # level 2: gather the chosen chunks' counter words, unpack
-        pw = jnp.take_along_axis(
-            planes, cidx[:, :, None, :],
-            axis=3)                                           # (B,2,np,kc)
+        # level 2: one flag word per chosen chunk -> at-max positions
+        w = jnp.take_along_axis(eq, cidx, axis=2)                 # (B,2,kc)
         shifts = jnp.arange(32, dtype=jnp.uint32)
-        sub = jnp.zeros((B, 2, kc, 32), jnp.int32)
-        for j in range(n_planes):
-            bit = ((pw[:, :, j, :, None] >> shifts)
-                   & jnp.uint32(1)).astype(jnp.int32)
-            sub = sub + (bit << j)
+        bits = ((w[..., None] >> shifts) & jnp.uint32(1)) != 0
         cs = self.CAND_CHUNK
         sub_col = col0 + (cidx[..., None] * cs
                           + jnp.arange(cs, dtype=jnp.int32))      # global ids
-        sub = jnp.where(sub_col < n, sub, -1)   # mask sentinel phantom bits
-        sub_at = (sub == at_max[..., None]) & cvalid[..., None]
+        sub_at = (bits & cvalid[..., None]
+                  & (sub_col < n))              # mask sentinel phantom bits
         # lanes are ordered (ascending chunk, ascending bit) = ascending
         # global id, so first-C compaction = the C smallest at-max ids
         pos, pvalid = _first_set_indices(sub_at.reshape(B, 2, -1), C)
