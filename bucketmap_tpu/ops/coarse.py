@@ -385,16 +385,25 @@ def _first_set_indices(mask, C: int):
     exists in HBM).
 
     mask: (..., n) bool. Returns (idx (..., C) int32 ascending, valid
-    (..., C) bool); idx is 0 where invalid."""
+    (..., C) bool); idx is 0 where invalid.
+
+    Shape note: the single broadcast compare (..., n, C) puts C in the
+    minor axis — 30/128 lanes used, measured ~45 ms at production shape.
+    Looping the C targets instead keeps n in the (padded) lane axis, so
+    every pass is a full-lane fused compare+select+reduce over an int8
+    rank vector: measured ~6 ms for the same work."""
     n = mask.shape[-1]
     rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)       # (..., n)
     total = rank[..., -1:]
-    r = jnp.where(mask, rank, 0)                             # 0 = unset
     tgt = jnp.arange(1, C + 1, dtype=jnp.int32)              # (C,)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    idx = jnp.sum(jnp.where(r[..., None] == tgt, pos[:, None], 0),
-                  axis=-2).astype(jnp.int32)                 # (..., C)
     valid = tgt <= total
+    # ranks beyond C can never match a target — clip into int8
+    rt = jnp.int8 if C + 1 <= 127 else jnp.int32
+    r8 = jnp.where(mask, jnp.minimum(rank, C + 1), 0).astype(rt)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    cols = [jnp.sum(jnp.where(r8 == rt(c), pos, 0), axis=-1)
+            for c in range(1, C + 1)]
+    idx = jnp.stack(cols, axis=-1)                           # (..., C)
     return jnp.where(valid, idx, 0), valid
 
 
@@ -633,60 +642,73 @@ class CoarseMapper:
 
     def _extract_at_max2(self, planes, chunk_max, max_hits, live, n,
                          col0: int = 0):
-        """Bucket ids at the (global) max hit count — two-level extraction.
+        """Bucket ids at the (global) max hit count — word-rank extraction.
 
         A direct top_k over a (B, 2, n_pad) hit tensor dominates the
         whole map step (measured 457 ms/batch at 26k buckets vs 76 ms
         for the scoring itself): XLA's TopK over 52k-wide rows is ~100x
-        off bandwidth. Since live reads have <= C at-max buckets (more
-        clears the read, q_gram_mapper.h:471-476), the at-max buckets
-        occupy <= C of the 32-bucket word-chunks: find those chunks with
-        a narrow top_k over the chunk-max scan, unpack ONLY their 32
-        per-bucket counts from the gathered bit-plane words (n_planes
-        words per chunk — the full hit tensor never exists), and extract
-        positions with a local top_k over C*32 elements. Results
-        identical to a direct dense extraction.
+        off bandwidth; gather-based two-level chunk extraction measured
+        ~57 ms (element gathers + a (C,32)->C*32 relayout). Gather-free
+        instead: dense per-bucket "count == gmax" flag WORDS (XNOR-AND
+        over the packed plane counters), then popcount + word-rank
+        cumsum locate the word holding the c-th set bit with one
+        full-lane crossing-match reduction per target, and a 5-step
+        halving ladder selects the bit by local rank inside that word.
+        Live reads have <= C at-max buckets (more clears the read,
+        q_gram_mapper.h:471-476), so C targets extract everything.
+        Results identical to a dense extraction: ascending global ids.
 
         planes: (B, 2, n_planes, nc) uint32 packed per-bucket counters
         (from _chunk_scan / _coarse_score_pallas).
         Returns cand (B,2,C) int32 — ascending global ids, -1 padded."""
         C = self.cfg.max_candidate_buckets
         B, _, n_planes, nc = planes.shape
-        at_max = max_hits[..., None]                              # (B,2,1)
 
         # dense per-bucket "count == gmax" flags, ONE u32 word per
-        # chunk: bucket bit set iff every plane bit matches gmax's bit
-        # (XNOR-AND over the packed counters — counts fit n_planes bits
-        # exactly, n_planes = s.bit_length()). This replaces gathering
-        # n_planes counter words per chosen chunk (4.9M element-granular
-        # gathers at production shape) with a cheap dense pass + ONE
-        # word gather per chunk below.
+        # 32-bucket chunk: bucket bit set iff every plane bit matches
+        # gmax's bit (counts fit n_planes bits, n_planes = s.bit_length())
         eq = None
         for j in range(n_planes):
             gb = ((max_hits >> j) & 1)[..., None]                 # (B,2,1)
             pj = planes[:, :, j]
             term = jnp.where(gb == 1, pj, ~pj)
             eq = term if eq is None else (eq & term)
+        colbase = jnp.arange(nc, dtype=jnp.int32) * 32
+        vmask = _valid_word_mask(colbase, n - col0)               # (nc,) u32
+        eq = jnp.where(live[..., None], eq & vmask, jnp.uint32(0))
 
-        # level 1: chunks containing an at-max bucket, ascending
-        chunk_has = (chunk_max == at_max) & live[..., None]
-        kc = min(C, nc)
-        cidx, cvalid = _first_set_indices(chunk_has, kc)          # (B,2,kc)
+        pop = jax.lax.population_count(eq).astype(jnp.int32)      # (B,2,nc)
+        wrank = jnp.cumsum(pop, axis=-1)                          # inclusive
+        total = wrank[..., -1:]
+        # ranks clip into int8 (live reads never exceed C+1 <= 127)
+        rt = jnp.int8 if C + 1 <= 127 else jnp.int32
+        wr = jnp.minimum(wrank, C + 1).astype(rt)
+        wx = jnp.minimum(wrank - pop, C + 1).astype(rt)
+        eqi = jax.lax.bitcast_convert_type(eq, jnp.int32)
+        lanes = jnp.arange(nc, dtype=jnp.int32)
 
-        # level 2: one flag word per chosen chunk -> at-max positions
-        w = jnp.take_along_axis(eq, cidx, axis=2)                 # (B,2,kc)
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bits = ((w[..., None] >> shifts) & jnp.uint32(1)) != 0
-        cs = self.CAND_CHUNK
-        sub_col = col0 + (cidx[..., None] * cs
-                          + jnp.arange(cs, dtype=jnp.int32))      # global ids
-        sub_at = (bits & cvalid[..., None]
-                  & (sub_col < n))              # mask sentinel phantom bits
-        # lanes are ordered (ascending chunk, ascending bit) = ascending
-        # global id, so first-C compaction = the C smallest at-max ids
-        pos, pvalid = _first_set_indices(sub_at.reshape(B, 2, -1), C)
-        cand = jnp.take_along_axis(sub_col.reshape(B, 2, -1), pos, axis=-1)
-        return jnp.where(pvalid, cand, -1).astype(jnp.int32)
+        cols = []
+        for c in range(1, C + 1):
+            m = (wr >= rt(c)) & (wx < rt(c))      # the ONE crossing word
+            wval = jnp.sum(jnp.where(m, eqi, 0), axis=-1)         # (B,2)
+            base = jnp.sum(jnp.where(m, wx.astype(jnp.int32), 0), axis=-1)
+            lane = jnp.sum(jnp.where(m, lanes, 0), axis=-1)
+            # bit of local rank r inside wval: halving ladder
+            r = c - 1 - base
+            w32 = jax.lax.bitcast_convert_type(wval, jnp.uint32)
+            pos = jnp.zeros_like(r)
+            for width in (16, 8, 4, 2, 1):
+                lowc = jax.lax.population_count(
+                    w32 & jnp.uint32((1 << width) - 1)).astype(jnp.int32)
+                hi = r >= lowc
+                r = jnp.where(hi, r - lowc, r)
+                pos = pos + jnp.where(hi, width, 0)
+                w32 = jnp.where(hi, w32 >> width, w32)
+            cols.append(lane * 32 + pos)
+        cand_local = jnp.stack(cols, axis=-1)                     # (B,2,C)
+        tgt = jnp.arange(1, C + 1, dtype=jnp.int32)
+        valid = tgt <= total
+        return jnp.where(valid, col0 + cand_local, -1).astype(jnp.int32)
 
     def _query_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
                     codes: jax.Array, qual_ok: jax.Array, lengths: jax.Array):

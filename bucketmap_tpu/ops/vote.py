@@ -51,6 +51,138 @@ from bucketmap_tpu.ops.encoding import kmer_hashes, revcomp_hash, unpack_2bit, w
 from bucketmap_tpu.ops.sampler import sample_table
 
 
+def _fine_window_pallas(ftf, frow, lo_rel, hi_rel, low, O: int,
+                        low_bits: int, W: int = 3, group: int = 32,
+                        block_rows: int = 2048, n_slots: int = 8,
+                        interpret: bool = False):
+    """Fine-stage window fetch + occurrence extraction as one Pallas
+    kernel.
+
+    The hybrid search (_vote_packed_impl) ends with, per (pair, sample),
+    a 3-consecutive-sub-tile-row window read of the sorted slot table —
+    XLA lowers that (P, p, 3x128) gather ~3-4x above the scattered-DMA
+    rate (PERF §-1.3). Here each window is ONE contiguous (W, 128)
+    1.5 KB async DMA through an n_slots-deep ring, and the rank +
+    occurrence extraction runs on the VMEM-resident window, so the only
+    HBM traffic is the windows themselves plus an (R, O) result.
+
+    ftf: (NT, 128) uint32 slot table, rows = flattened (bucket, sub-tile)
+    (HBM-resident). frow: (R,) int32 first sub-tile row of each sample's
+    window (callers clamp to NT - W). lo_rel/hi_rel: (R,) int32 slot
+    interval relative to the window start, 0 <= lo_rel <= hi_rel <=
+    W*128 — hi_rel must be the TRUE segment end (clamped to the window),
+    not a binary-search bound that may cut into the equal run.
+    low: (R,) int32 target low bits.
+
+    Returns pk (R, O) uint32: the packed values of the first O slots in
+    [lo_rel, hi_rel) whose low bits equal `low` (these are consecutive —
+    slots in the interval are sorted by low bits), 0xFFFFFFFF where the
+    run is shorter than O. Rows with empty intervals give all-sentinel.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = frow.shape[0]
+    G = group
+    BR = min(block_rows, R)
+    BR -= BR % G
+    BR = max(BR, G)
+    pad = (-R) % BR
+    if pad:
+        z = jnp.zeros(pad, jnp.int32)
+        frow = jnp.concatenate([frow, z])
+        lo_rel = jnp.concatenate([lo_rel, z])
+        hi_rel = jnp.concatenate([hi_rel, z])       # empty interval
+        low = jnp.concatenate([low, z])
+    Rp = R + pad
+    NS = n_slots
+    T = BR // G
+    lhl = jnp.stack([lo_rel, hi_rel, low], axis=1)  # (Rp, 3) VMEM input
+    # SMEM blocks pad the minor dim to 128 lanes — shape the row table
+    # (groups, G) so the padding cost is /G
+    frow = frow.reshape(-1, G)                      # (Rp//G, G) SMEM input
+
+    def kernel(frow_ref, lhl_ref, tab_ref, out_ref):
+        def body(scratch, sems):
+            def dma(t, slot):
+                copies = []
+                for g in range(G):
+                    r0 = frow_ref[t, g]
+                    copies.append(pltpu.make_async_copy(
+                        tab_ref.at[pl.ds(r0, W)],
+                        scratch.at[slot, g],
+                        sems.at[slot, g]))
+                return copies
+
+            for t in range(min(NS, T)):            # warmup: fill the ring
+                for c in dma(t, t % NS):
+                    c.start()
+
+            sub = jax.lax.broadcasted_iota(jnp.int32, (G, W, 128), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (G, W, 128), 2)
+            flat = sub * 128 + lane                # window-relative slot
+
+            def step(t, _):
+                slot = jax.lax.rem(t, NS)
+                for c in dma(t, slot):
+                    c.wait()
+                win = scratch[slot]                # (G, W, 128) u32
+                # all vector values stay >= 2-D (Mosaic requires it)
+                sc = lhl_ref[pl.ds(t * G, G), :]   # (G, 3)
+                los = sc[:, 0:1][:, :, None]       # (G, 1, 1)
+                his = sc[:, 1:2][:, :, None]
+                lows = sc[:, 2:3][:, :, None].astype(jnp.uint32)
+                wlow = win & jnp.uint32((1 << low_bits) - 1)
+                eq = (flat >= los) & (flat < his) & (wlow == lows)
+                # equal-low slots are contiguous: the o-th occurrence
+                # sits at flat == first_eq + o
+                first = jnp.min(jnp.min(jnp.where(eq, flat, W * 128),
+                                        axis=2), axis=1, keepdims=True)
+                # one-hot masked sums run in int32 (Mosaic has no
+                # unsigned reductions); exact — one nonzero element
+                wini = jax.lax.bitcast_convert_type(win, jnp.int32)
+                cols = []
+                for o in range(O):
+                    m = eq & (flat == (first + o)[:, :, None])
+                    val = jnp.sum(jnp.sum(jnp.where(m, wini, 0), axis=2),
+                                  axis=1, keepdims=True)       # (G, 1)
+                    hit = jnp.sum(jnp.sum(m.astype(jnp.int32), axis=2),
+                                  axis=1, keepdims=True) > 0
+                    cols.append(jnp.where(hit, val, jnp.int32(-1)))
+                out_ref[pl.ds(t * G, G), :] = jnp.concatenate(cols, axis=1)
+
+                @pl.when(t + NS < T)
+                def _():
+                    for c in dma(t + NS, slot):
+                        c.start()
+                return 0
+
+            jax.lax.fori_loop(0, T, step, 0)
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((NS, G, W, 128), jnp.uint32),
+            sems=pltpu.SemaphoreType.DMA((NS, G)),
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Rp // BR,),
+        in_specs=[
+            pl.BlockSpec((BR // G, G), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BR, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((BR, O), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, O), jnp.int32),
+        interpret=interpret,
+    )(frow, lhl, ftf)
+    return jax.lax.bitcast_convert_type(out[:R], jnp.uint32)
+
+
 def _tally_pallas_call(flat_prop, flat_valid, p, O, indel, min_vote,
                        read_len, block_rows: int = 256,
                        interpret: bool = False):
@@ -172,6 +304,15 @@ class FineLocator:
         else:
             self._tally_mode = ("jnp" if jax.default_backend() == "cpu"
                                 else "pallas")
+        # fine-window fetch backend (tiled fine_packed only).
+        # BMTPU_FINEWIN=pallas picks the DMA-ring kernel
+        # (_fine_window_pallas): measured 4.7 vs 6.1 us/pair at
+        # 1024-pair chunks (DMA-issue bound, ~385 ns per 1.5 KB window
+        # DMA), but the XLA row-gather path reaches 3.0 us/pair at
+        # 4096+-pair chunks where the kernel stays at 3.9 — so the
+        # default is the XLA path at production chunk sizes.
+        fenv = os.environ.get("BMTPU_FINEWIN", "auto")
+        self._finewin_mode = fenv if fenv in ("pallas", "jnp") else "jnp"
         # index arrays are jit arguments, not closure captures (capture
         # would embed them as HLO constants; see ops/coarse.py)
         self._prepare = jax.jit(self._prepare_from_quals_impl)
@@ -558,7 +699,34 @@ class FineLocator:
             lo = jnp.where(below, mid + 1, lo)
             hi = jnp.where(active & ~below, mid, hi)
 
-        if tiled:
+        if tiled and self._finewin_mode == "pallas":
+            # Pallas window kernel: each sample's 3-sub-tile window is
+            # ONE contiguous 1.5 KB DMA (vs the XLA row-gather lowering,
+            # 3-4x above the scattered-DMA rate), and the first-match
+            # rank + occurrence extraction happen on the VMEM-resident
+            # window. hi_rel = TRUE segment end clamped to the window
+            # (the narrowed `hi` may cut into the equal run).
+            ft = fine_packed
+            T = ft.shape[1]
+            t0 = jnp.clip(lo // 128, 0, T - 3)                  # (P, p)
+            base = t0 * 128
+            # clamp: garbage bucket ids in padding lanes must not send
+            # the DMA out of the table (XLA gathers clamp; DMAs abort)
+            frow = jnp.clip(bucket_ids[:, None] * T + t0, 0,
+                            ft.shape[0] * T - 3)                # (P, p)
+            pk = _fine_window_pallas(
+                ft.reshape(-1, 128), frow.reshape(-1).astype(jnp.int32),
+                (lo - base).reshape(-1).astype(jnp.int32),
+                (jnp.minimum(seg_hi, base + 384) - base)
+                .reshape(-1).astype(jnp.int32),
+                low.reshape(-1), O, self.low_bits,
+                interpret=self._tally_interpret).reshape(P, p, O)
+            occ_valid = pk != jnp.uint32(0xFFFFFFFF)
+            occ_pos = jnp.where(occ_valid,
+                                (pk >> low_bits).astype(jnp.int32), 0)
+            prop = occ_pos - tgt_idx[:, :, None]
+            return self._tally(prop, occ_valid, is_rc)
+        elif tiled:
             ft = fine_packed
             T = ft.shape[1]
             t0 = jnp.clip(lo // 128, 0, T - 3)                  # (P, p)
