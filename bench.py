@@ -211,8 +211,12 @@ def main():
     # the table-free packed-scan vote path, which materializes
     # (vote_chunk, bucket_len) intermediates — cap the pair chunk there
     fine_gb = 4 * index.n_buckets * index.buckets_packed.shape[1] * 16 / (1 << 30)
-    pair_batch = int(os.environ.get("BMTPU_BENCH_PAIR_BATCH",
-                                    str(BATCH if fine_gb <= 8 else 1024)))
+    # align mode: DP sub-batches of 16384 pairs halve the dispatch count
+    # vs the 8192 map batch (measured 37.4k vs 35.2k reads/s, HBM peak
+    # 8.7 GB — fits); the vote chunk is capped separately (pipeline.py)
+    pair_batch = int(os.environ.get(
+        "BMTPU_BENCH_PAIR_BATCH",
+        str((16384 if ALIGN else BATCH) if fine_gb <= 8 else 1024)))
     # the remote TPU frees a just-exited process's HBM asynchronously; a
     # bench started seconds after another TPU job can transiently OOM at
     # init (observed once) — one retry after a grace period covers it

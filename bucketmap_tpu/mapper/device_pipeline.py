@@ -529,7 +529,7 @@ class DeviceMapper:
             qbits = jnp.uint32(4**cfg.index_seed - 1)
             shifts = 2 * jnp.arange(nq, dtype=jnp.uint32)
             grams = (both[..., None] >> shifts) & qbits       # (B,2,s,nq)
-            rows_t = kmer_to_row[grams].reshape(-1, nq)
+            rows_t = self.coarse._gram_rows(kmer_to_row, grams, nq)
             tab3 = qgram_words.reshape(qgram_words.shape[0], wl // 128, 128)
             cm, cc, pls = _coarse_score_pallas(
                 tab3, rows_t, bound, cfg.mapper_samples,

@@ -450,6 +450,11 @@ class CoarseMapper:
         # -1 (unsampled q-gram) -> sentinel all-ones row / zeros==-1
         k2r = index.kmer_to_row.astype(np.int32)
         self.kmer_to_row = jnp.asarray(np.where(k2r < 0, g, k2r))
+        # FracMinHash f=1.0 keeps every q-gram in hash order, so the
+        # row map is the identity — the (B,2,s,nq) row gather (3.9M
+        # elements/batch, ~15 ms measured) can be skipped entirely
+        self.k2r_identity = bool(
+            k2r.shape[0] == g and np.array_equal(k2r, np.arange(g)))
         self.zeros = jnp.asarray(index.zeros)
         # distinguishability threshold: (unsigned)(d * N) (q_gram_mapper.h:163)
         self.dist_threshold = int(cfg.distinguishability * self.n_buckets)
@@ -575,21 +580,33 @@ class CoarseMapper:
 
         # deterministic sampling of good positions in increasing order:
         # the sel[j]-th good position is the unique one whose masked
-        # running rank equals sel[j]+1, so a broadcast compare + sum
-        # extracts all s samples in one streaming pass — no argsort
-        # (XLA's sort over (B, K) keys measured ~10x this reduction)
+        # running rank equals sel[j]+1, so a compare + sum extracts each
+        # sample in one full-lane streaming pass — no argsort (XLA's
+        # sort over (B, K) keys measured ~10x this; a single broadcast
+        # compare with s in the minor axis wastes 113/128 lanes and
+        # measured ~2.5x these s passes)
         ub = jnp.clip(num_good - 1, 0, sample_tab.shape[0] - 1)
         sel = sample_tab[ub]                                   # (B, s)
         rank = jnp.cumsum(good.astype(jnp.int32), axis=1)
-        r = jnp.where(good, rank, 0)
-        samp_pos = jnp.sum(
-            jnp.where(r[:, :, None] == (sel + 1)[:, None, :],
-                      pos[None, :, None], 0), axis=1).astype(jnp.int32)
+        r16 = jnp.where(good, rank, 0).astype(jnp.int16)       # K < 2^15
+        pos16 = pos.astype(jnp.int16)
+        samp_pos = jnp.stack(
+            [jnp.sum(jnp.where(r16 == (sel[:, j:j + 1] + 1)
+                               .astype(jnp.int16), pos16, jnp.int16(0)),
+                     axis=1, dtype=jnp.int32)
+             for j in range(sel.shape[1])], axis=1)            # (B, s)
         samp_hash = jnp.take_along_axis(kmers, samp_pos, axis=1)    # (B, s)
 
         both = jnp.stack([samp_hash, revcomp_hash(samp_hash, k, xp=jnp)],
                          axis=1)
         return both, num_good, give_up
+
+    def _gram_rows(self, kmer_to_row, grams, nq: int):
+        """Occupancy-table row of each contained q-gram; the gather is
+        skipped when the FracMinHash row map is the identity (f=1.0)."""
+        if self.k2r_identity:
+            return grams.astype(jnp.int32).reshape(-1, nq)
+        return kmer_to_row[grams].reshape(-1, nq)
 
     def _presence_impl(self, qgram_words, kmer_to_row, dist_tab, sample_tab,
                        codes: jax.Array, qual_ok: jax.Array,
@@ -615,7 +632,7 @@ class CoarseMapper:
             # each row views as DMA-able (w/128, 128) sub-tiles
             shifts = 2 * jnp.arange(nq, dtype=jnp.uint32)
             grams = (both[..., None] >> shifts) & qbits         # (B,2,s,nq)
-            rows = kmer_to_row[grams].reshape(-1, nq)
+            rows = self._gram_rows(kmer_to_row, grams, nq)
             tab3 = qgram_words.reshape(qgram_words.shape[0], w // 128, 128)
             pres = _presence_gather_pallas(tab3, rows,
                                            interpret=self._scan_interpret)
@@ -733,7 +750,7 @@ class CoarseMapper:
             qbits = jnp.uint32(4**cfg.index_seed - 1)
             shifts = 2 * jnp.arange(nq, dtype=jnp.uint32)
             grams = (both[..., None] >> shifts) & qbits         # (B,2,s,nq)
-            rows = kmer_to_row[grams].reshape(-1, nq)
+            rows = self._gram_rows(kmer_to_row, grams, nq)
             tab3 = qgram_words.reshape(qgram_words.shape[0], w // 128, 128)
             cm, cc, pls = _coarse_score_pallas(
                 tab3, rows, jnp.int32(n), cfg.mapper_samples,
